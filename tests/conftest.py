@@ -1,0 +1,28 @@
+"""Test configuration: force a virtual 8-device CPU mesh so pjit/psum sharding
+paths are exercised without TPU hardware (SURVEY.md §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def config_dir() -> str:
+    return str(REPO_ROOT / "config")
+
+
+@pytest.fixture(scope="session")
+def example_data_dir() -> pathlib.Path:
+    """The reference's committed golden example data (features/tokens jsonl)."""
+    return REFERENCE_ROOT / "example_data"

@@ -1,0 +1,137 @@
+"""Config composition tests: the Hydra surface must match the reference
+(reference cli/train.py:16, config/** — SURVEY.md §5.6)."""
+import pytest
+
+from slamkit_tpu.config import compose, ConfigNode, MissingMandatoryValue
+
+
+def test_compose_train_defaults(config_dir):
+    cfg = compose(config_dir, "train")
+    assert cfg.model.tlm_type == "twist"
+    assert cfg.model.config_args.twist_init is True
+    assert cfg.model.context_len == 512
+    assert cfg.model.config_args.base_model_name == "facebook/opt-125m"
+    assert cfg.training_args.learning_rate == 1e-3
+    assert cfg.training_args.lr_scheduler_kwargs.min_lr == 5e-5
+    assert cfg.training_args.max_grad_norm == 0.5
+    assert cfg.data.packing is False
+    assert cfg.tokeniser.tokeniser_type == "unit"
+    # train.yaml overrides load_fe after composing the tokeniser group
+    assert cfg.tokeniser.params.load_fe is False
+    assert cfg.cont_training is False
+    assert cfg.run_time is None
+
+
+def test_unit_hubert_25_override_chooses_mhubert(config_dir):
+    # config/tokeniser/unit_hubert_25.yaml re-chooses the feature_extractor
+    # group via `override /tokeniser/feature_extractor: mhubert_25`
+    cfg = compose(config_dir, "train")
+    fe = cfg.tokeniser.feature_extractor
+    assert fe.pretrained_model == "slprl/mhubert-base-25hz"
+    assert fe.layer == 11
+    assert fe.num_units == 500
+
+
+def test_group_choice_override(config_dir):
+    cfg = compose(config_dir, "train", ["model=slam"])
+    assert cfg.model.context_len == 1024
+    assert cfg.model.config_args.base_model_name == "Qwen/Qwen2.5-0.5B"
+    assert cfg.model.config_args.rope_theta == 10000
+    assert cfg.model.config_args.torch_dtype == "bfloat16"
+    # slam inherits twist's tlm_type through the sibling defaults chain
+    assert cfg.model.tlm_type == "twist"
+    assert cfg.model.config_args.twist_init is True
+
+
+def test_nested_group_choice_override(config_dir):
+    cfg = compose(config_dir, "train", ["tokeniser=unit_hubert_l9"])
+    assert cfg.tokeniser.feature_extractor.layer == 9
+    assert cfg.tokeniser.feature_extractor.pretrained_model == "facebook/hubert-base-ls960"
+
+
+def test_value_overrides(config_dir):
+    cfg = compose(
+        config_dir,
+        "train",
+        [
+            "data.train_path=/tmp/x.jsonl",
+            "training_args.learning_rate=5e-4",
+            "training_args.per_device_train_batch_size=16",
+            "+training_args.custom_flag=7",
+            "model.config_args.vocab_size=502",
+        ],
+    )
+    assert cfg.data.train_path == "/tmp/x.jsonl"
+    assert cfg.training_args.learning_rate == 5e-4
+    assert cfg.training_args.per_device_train_batch_size == 16
+    assert cfg.training_args.custom_flag == 7
+    assert cfg.model.config_args.vocab_size == 502
+
+
+def test_missing_mandatory_raises(config_dir):
+    cfg = compose(config_dir, "train")
+    with pytest.raises(MissingMandatoryValue):
+        _ = cfg.data.train_path
+    assert cfg.data.get("train_path") is None
+
+
+def test_list_values(config_dir):
+    cfg = compose(config_dir, "train_inter_scale")
+    assert list(cfg.data.train_ratios) == [0.2023584112, 0.5433262899, 0.2543152989]
+    assert cfg.data.packing is True
+    assert cfg.tokeniser.tokeniser_type == "interleave"
+    assert cfg.tokeniser.params.interleave_method == "poisson"
+    assert cfg.tokeniser.params.interleave_span == 10
+    assert cfg.model.context_len == 2048
+    assert cfg.ds_token_size == 11081736716
+
+
+def test_list_override_parsing(config_dir):
+    cfg = compose(config_dir, "train", ["data.train_path=[/a.jsonl,/b.jsonl]"])
+    assert list(cfg.data.train_path) == ["/a.jsonl", "/b.jsonl"]
+
+
+def test_eval_config(config_dir):
+    cfg = compose(config_dir, "eval", ["metric=sblimp"])
+    assert cfg.metric.metric_type == "sblimp"
+    assert cfg.metric.data_path == "//reference/sblimp"
+    assert cfg.metric.subfolder is True
+    assert cfg.vocoder.vocoder_type is None
+    assert cfg.batch_size == 8
+
+
+def test_generate_metric_kwargs(config_dir):
+    cfg = compose(config_dir, "eval", ["metric=generate"])
+    gk = cfg.metric.generate_kwargs
+    assert gk.temperature == 0.8
+    assert gk.top_k == 25
+    assert gk.max_new_tokens == 150
+    assert gk.do_sample is True
+
+
+def test_to_container_roundtrip(config_dir):
+    cfg = compose(config_dir, "train", ["data.train_path=x", "data.val_path=y"])
+    d = cfg.to_container()
+    assert isinstance(d, dict)
+    assert d["training_args"]["learning_rate"] == 1e-3
+    assert d["data"]["train_path"] == "x"
+
+
+def test_node_get_and_in():
+    cfg = ConfigNode({"a": {"b": 1}, "c": None})
+    assert cfg.get("missing", 5) == 5
+    assert "a" in cfg
+    assert cfg.a.get("b") == 1
+    assert cfg.get("c") is None
+
+
+def test_interpolation():
+    cfg = ConfigNode({"a": {"b": 7}, "x": "${a.b}", "y": "pre-${a.b}-post"})
+    cfg._set_root(cfg)
+    assert cfg.x == 7
+    assert cfg.y == "pre-7-post"
+
+
+def test_delete_override(config_dir):
+    cfg = compose(config_dir, "train", ["~run_time"])
+    assert "run_time" not in cfg
