@@ -1,0 +1,105 @@
+"""Flash attention kernel vs XLA reference: forward + gradients, causal and
+segment-id (packing) masking. Runs in Pallas interpret mode on the CPU test
+mesh; the same kernels compile on TPU."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamkit_tpu.ops import flash_attention, mha_reference
+
+FA = functools.partial(flash_attention, interpret=True)
+
+
+def _rand_qkv(key, b, h, t, d, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    mk = lambda k: jax.random.normal(k, (b, h, t, d), dtype=dtype) * 0.3
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+@pytest.mark.parametrize("t,d", [(128, 64), (256, 128), (160, 64)])
+def test_causal_forward_matches_reference(t, d):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, 3, t, d)
+    out = FA(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_noncausal_forward_matches_reference():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 2, 2, 128, 64)
+    out = FA(q, k, v, causal=False)
+    ref = mha_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_segment_ids_block_cross_attention():
+    b, h, t, d = 1, 2, 256, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), b, h, t, d)
+    # two packed documents: [0]*100 + [1]*156
+    seg = jnp.concatenate([jnp.zeros((b, 100), jnp.int32), jnp.ones((b, 156), jnp.int32)], axis=1)
+    out = FA(q, k, v, segment_ids=seg, causal=True)
+    ref = mha_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    # the packed result equals attending to each document separately
+    out_doc0 = FA(q[:, :, :100], k[:, :, :100], v[:, :, :100],
+                  causal=True, sm_scale=d ** -0.5)
+    np.testing.assert_allclose(out[:, :, :100], out_doc0, atol=2e-5, rtol=2e-5)
+
+
+def test_padding_segment_rows_are_zero():
+    b, h, t, d = 1, 1, 128, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b, h, t, d)
+    seg = jnp.where(jnp.arange(t)[None, :] < 64, 0, -1).astype(jnp.int32)
+    out = FA(q, k, v, segment_ids=seg, causal=True)
+    # padding queries (seg -1 matches other pads — but causal+same-id pads
+    # attend among themselves, so only check REAL rows vs reference)
+    ref = mha_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out[:, :, :64], ref[:, :, :64], atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_match_reference():
+    b, h, t, d = 1, 2, 128, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), b, h, t, d)
+    seg = jnp.concatenate([jnp.zeros((b, 48), jnp.int32), jnp.ones((b, 80), jnp.int32)], axis=1)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, segment_ids=seg, causal=True) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_gradients_causal_no_segments():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, 1, 256, 64)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, causal=True) * jnp.cos(jnp.arange(64.0)))
+
+    g_flash = jax.grad(functools.partial(loss, FA), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(functools.partial(loss, mha_reference), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=5e-4)
+
+
+def test_bf16_inputs():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), 1, 2, 128, 64, dtype=jnp.bfloat16)
+    out = FA(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(out.astype(jnp.float32), ref.astype(jnp.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_unaligned_seq_len_padding():
+    # T=100 not a block multiple: wrapper pads and slices back
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 1, 100, 64)
+    out = FA(q, k, v, causal=True)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
