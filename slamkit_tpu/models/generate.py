@@ -1,0 +1,105 @@
+"""Jitted autoregressive sampling with KV cache.
+
+TPU-native replacement for HF `model.generate` as the reference uses it
+(reference slamkit/model/unit_lm.py:196-198, speech_lm.py:38-55): fixed-shape
+decode loop under jit (lax.scan), left-padded prompts, temperature / top-k /
+top-p sampling, eos early-stop, and `bad_words` as a static vocab mask instead
+of HF's per-step bad_words_ids list processor (the reference only ever bans
+single-token ids — speech_lm.py:46-48 — so a mask is exact and much faster).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .transformer import DecoderConfig, forward, init_cache
+
+NEG_INF = -1e30
+
+
+def _sample(logits, rng, do_sample, temperature, top_k, top_p):
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1)
+    if temperature not in (None, 1.0):
+        logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k is not None and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest set of tokens whose cumulative prob exceeds top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, NEG_INF, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "temperature",
+                     "top_k", "top_p", "eos_token_id", "pad_token_id"),
+)
+def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
+             attention_mask: jax.Array, rng: jax.Array,
+             *, max_new_tokens: int, do_sample: bool = True,
+             temperature: float = 1.0, top_k: Optional[int] = None,
+             top_p: Optional[float] = None,
+             eos_token_id: Optional[int] = None,
+             pad_token_id: int = 0,
+             bad_words_mask: Optional[jax.Array] = None) -> jax.Array:
+    """input_ids [B, L0] LEFT-padded, attention_mask [B, L0].
+    Returns [B, L0 + max_new_tokens]; positions after eos hold pad_token_id.
+    bad_words_mask: bool [V], True = banned id.
+    """
+    b, l0 = input_ids.shape
+    total = l0 + max_new_tokens
+
+    mask = attention_mask.astype(jnp.int32)
+    prompt_seg = jnp.where(mask > 0, 0, -1).astype(jnp.int32)
+    seg_full = jnp.concatenate(
+        [prompt_seg, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    prompt_len = mask.sum(axis=1)  # real (unpadded) prompt length per row
+
+    cache = init_cache(cfg, b, total)
+    logits, cache = forward(params, cfg, input_ids, positions=positions,
+                            segment_ids=prompt_seg, cache=cache,
+                            cache_index=0)
+    last_logits = logits[:, -1, :]  # rightmost position is the last real token
+
+    def mask_logits(lg):
+        if bad_words_mask is not None:
+            lg = jnp.where(bad_words_mask[None, :], NEG_INF, lg)
+        return lg
+
+    rng, sub = jax.random.split(rng)
+    first = _sample(mask_logits(last_logits), sub, do_sample, temperature, top_k, top_p)
+    finished = jnp.zeros((b,), bool)
+    if eos_token_id is not None:
+        finished = first == eos_token_id
+
+    def step(carry, i):
+        cache, tok, finished, rng = carry
+        pos = (prompt_len + i)[:, None]  # [B,1] next position index
+        logits, cache = forward(params, cfg, tok[:, None],
+                                positions=pos, segment_ids=seg_full,
+                                cache=cache, cache_index=l0 + i)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample(mask_logits(logits[:, -1, :]), sub, do_sample,
+                      temperature, top_k, top_p)
+        nxt = jnp.where(finished, pad_token_id, nxt)
+        if eos_token_id is not None:
+            finished = finished | (nxt == eos_token_id)
+        return (cache, nxt, finished, rng), tok
+
+    (_, last_tok, _, _), toks = jax.lax.scan(
+        step, (cache, first, finished, rng), jnp.arange(max_new_tokens - 1))
+    # toks: [steps, B] tokens fed at each step (i.e. generated tokens 0..n-2)
+    gen = jnp.concatenate([toks.T, last_tok[:, None]], axis=1) \
+        if max_new_tokens > 1 else first[:, None]
+    return jnp.concatenate([input_ids, gen], axis=1)

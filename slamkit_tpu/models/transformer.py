@@ -1,0 +1,326 @@
+"""Functional causal-transformer decoder for TPU.
+
+This is the compute core behind UnitLM (the reference wraps arbitrary HF
+AutoModelForCausalLM instances — reference slamkit/model/unit_lm.py:94-102).
+Here one configurable decoder covers the model families the reference's
+configs use (facebook/opt-*, Qwen/Qwen2.5-*, meta-llama/*, EleutherAI/pythia-*)
+with a TPU-first design:
+
+  * pure-functional params pytree; layers STACKED along a leading axis and
+    applied with lax.scan — O(1) compile time in depth, remat-friendly.
+  * bf16 compute / f32 params; logits in f32 for the loss.
+  * attention via the Pallas flash kernel (TPU) or the XLA reference (CPU),
+    both taking segment ids so padding and sequence packing share one path.
+  * GQA via kv-head repetition; RoPE (configurable theta/pct) or learned
+    positions (OPT's offset-by-2 scheme, reference uses opt-125m by default).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import flash_attention, mha_reference
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 512
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    num_kv_heads: int = 12
+    head_dim: int = 64
+    max_position_embeddings: int = 2048
+    # family knobs
+    norm: str = "rmsnorm"            # rmsnorm | layernorm
+    act: str = "silu_glu"            # silu_glu | gelu_glu | relu | gelu
+    pos: str = "rope"                # rope | learned
+    rope_theta: float = 10000.0
+    rotary_pct: float = 1.0          # gptneox uses 0.25
+    learned_pos_offset: int = 0      # OPT uses 2
+    parallel_residual: bool = False  # gptneox/pythia
+    qkv_bias: bool = False           # qwen2: True
+    attn_out_bias: bool = False
+    mlp_bias: bool = False
+    norm_bias: bool = False          # layernorm bias (opt/neox: True)
+    tie_word_embeddings: bool = True
+    norm_eps: float = 1e-6
+    initializer_range: float = 0.02
+    # execution knobs
+    dtype: str = "bfloat16"          # compute dtype
+    attn_impl: str = "auto"          # auto | flash | xla
+    remat: bool = False
+    flash_block_q: int = 128
+    flash_block_k: int = 128
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# --------------------------------------------------------------------------- #
+# init
+# --------------------------------------------------------------------------- #
+def init_params(cfg: DecoderConfig, rng: jax.Array) -> dict:
+    """Random init (the reference's gslm mode: same arch, fresh weights —
+    reference config/model/gslm.yaml:6). Weights stored f32."""
+    k_embed, k_layers, k_head, k_pos = jax.random.split(rng, 4)
+    std = cfg.initializer_range
+    D, L = cfg.hidden_size, cfg.num_layers
+
+    def normal(key, shape):
+        return jax.random.normal(key, shape, jnp.float32) * std
+
+    ks = jax.random.split(k_layers, 8)
+    layers = {
+        "attn_norm_scale": jnp.ones((L, D)),
+        "q_w": normal(ks[0], (L, D, cfg.q_dim)),
+        "k_w": normal(ks[1], (L, D, cfg.kv_dim)),
+        "v_w": normal(ks[2], (L, D, cfg.kv_dim)),
+        "o_w": normal(ks[3], (L, cfg.q_dim, D)),
+        "mlp_norm_scale": jnp.ones((L, D)),
+        "up_w": normal(ks[4], (L, D, cfg.intermediate_size)),
+        "down_w": normal(ks[5], (L, cfg.intermediate_size, D)),
+    }
+    if cfg.act.endswith("_glu"):
+        layers["gate_w"] = normal(ks[6], (L, D, cfg.intermediate_size))
+    if cfg.qkv_bias:
+        layers.update(q_b=jnp.zeros((L, cfg.q_dim)), k_b=jnp.zeros((L, cfg.kv_dim)),
+                      v_b=jnp.zeros((L, cfg.kv_dim)))
+    if cfg.attn_out_bias:
+        layers["o_b"] = jnp.zeros((L, D))
+    if cfg.mlp_bias:
+        layers.update(up_b=jnp.zeros((L, cfg.intermediate_size)),
+                      down_b=jnp.zeros((L, D)))
+        if cfg.act.endswith("_glu"):
+            layers["gate_b"] = jnp.zeros((L, cfg.intermediate_size))
+    if cfg.norm == "layernorm" and cfg.norm_bias:
+        layers.update(attn_norm_bias=jnp.zeros((L, D)), mlp_norm_bias=jnp.zeros((L, D)))
+
+    params = {
+        "embed": normal(k_embed, (cfg.vocab_size, D)),
+        "layers": layers,
+        "final_norm_scale": jnp.ones((D,)),
+    }
+    if cfg.norm == "layernorm" and cfg.norm_bias:
+        params["final_norm_bias"] = jnp.zeros((D,))
+    if cfg.pos == "learned":
+        params["pos_embed"] = normal(k_pos, (cfg.max_position_embeddings + cfg.learned_pos_offset, D))
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal(k_head, (D, cfg.vocab_size))
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+# --------------------------------------------------------------------------- #
+# building blocks
+# --------------------------------------------------------------------------- #
+def _norm(x, scale, bias, cfg: DecoderConfig):
+    x32 = x.astype(jnp.float32)
+    if cfg.norm == "rmsnorm":
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        out = x32 * jax.lax.rsqrt(var + cfg.norm_eps) * scale
+    else:
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + cfg.norm_eps) * scale
+        if bias is not None:
+            out = out + bias
+    return out.astype(x.dtype)
+
+
+def _rope(x, positions, cfg: DecoderConfig):
+    """NeoX-style rotary embedding. x: [B, H, T, Dh]; positions: [B, T]."""
+    rot_dim = int(cfg.head_dim * cfg.rotary_pct)
+    if rot_dim == 0:
+        return x
+    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    half = rot_dim // 2
+    freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B,1,T,half]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x_rot[..., :half], x_rot[..., half:]
+    rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return jnp.concatenate([rotated.astype(x.dtype), x_pass], axis=-1)
+
+
+def _use_flash(cfg: DecoderConfig) -> bool:
+    if cfg.attn_impl == "flash":
+        return True
+    if cfg.attn_impl == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True):
+    if _use_flash(cfg):
+        return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
+                               sm_scale=cfg.head_dim ** -0.5,
+                               block_q=cfg.flash_block_q, block_k=cfg.flash_block_k)
+    return mha_reference(q, k, v, segment_ids=segment_ids, causal=causal,
+                         sm_scale=cfg.head_dim ** -0.5)
+
+
+def _mlp(x, lp, cfg: DecoderConfig):
+    def proj(x, w, b):
+        y = jnp.einsum("btd,df->btf", x, w.astype(x.dtype))
+        return y + b.astype(x.dtype) if b is not None else y
+
+    up = proj(x, lp["up_w"], lp.get("up_b"))
+    if cfg.act == "silu_glu":
+        h = jax.nn.silu(proj(x, lp["gate_w"], lp.get("gate_b"))) * up
+    elif cfg.act == "gelu_glu":
+        h = jax.nn.gelu(proj(x, lp["gate_w"], lp.get("gate_b"))) * up
+    elif cfg.act == "relu":
+        h = jax.nn.relu(up)
+    else:
+        h = jax.nn.gelu(up)
+    return proj(h, lp["down_w"], lp.get("down_b"))
+
+
+def _split_heads(x, n_heads, head_dim):
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
+           cache_index=None):
+    """One decoder block. cache_kv: optional (k, v) [B, Hkv, Tmax, Dh] to update
+    at cache_index (decode); returns (out, new_cache_kv)."""
+    dt = x.dtype
+    h = _norm(x, lp["attn_norm_scale"], lp.get("attn_norm_bias"), cfg)
+
+    def proj(inp, w, b):
+        y = jnp.einsum("btd,df->btf", inp, w.astype(dt))
+        return y + b.astype(dt) if b is not None else y
+
+    q = _split_heads(proj(h, lp["q_w"], lp.get("q_b")), cfg.num_heads, cfg.head_dim)
+    k = _split_heads(proj(h, lp["k_w"], lp.get("k_b")), cfg.num_kv_heads, cfg.head_dim)
+    v = _split_heads(proj(h, lp["v_w"], lp.get("v_b")), cfg.num_kv_heads, cfg.head_dim)
+
+    if cfg.pos == "rope":
+        q = _rope(q, positions, cfg)
+        k = _rope(k, positions, cfg)
+
+    new_cache = None
+    decode = cache_kv is not None and q.shape[2] == 1
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        new_cache = (ck, cv)
+        if decode:
+            k, v = ck.astype(dt), cv.astype(dt)
+
+    groups = cfg.num_heads // cfg.num_kv_heads
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+
+    if decode:
+        # single-step decode: q [B,H,1,Dh] against the full cache — plain XLA
+        # attention masked to slots <= cache_index and valid (seg >= 0) keys.
+        # segment_ids here covers the CACHE length, not the step.
+        t_k = k.shape[2]
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * cfg.head_dim ** -0.5
+        key_idx = jnp.arange(t_k)[None, None, None, :]
+        valid = key_idx <= cache_index
+        if segment_ids is not None:
+            valid = valid & (segment_ids[:, None, None, :] >= 0)
+        scores = jnp.where(valid, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    else:
+        # training or prefill: attend within the current window (the window IS
+        # the full history during prefill)
+        attn = _attention(q, k, v, segment_ids, cfg, causal=True)
+
+    attn_out = proj(_merge_heads(attn), lp["o_w"], lp.get("o_b"))
+
+    if cfg.parallel_residual:
+        h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
+        out = x + attn_out + _mlp(h2, lp, cfg)
+    else:
+        x = x + attn_out
+        h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
+        out = x + _mlp(h2, lp, cfg)
+    return out, new_cache
+
+
+# --------------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------------- #
+def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
+            positions: Optional[jax.Array] = None,
+            segment_ids: Optional[jax.Array] = None,
+            cache: Optional[Any] = None,
+            cache_index: Optional[jax.Array] = None):
+    """Run the decoder. Returns (logits_f32 [B,T,V], new_cache).
+
+    positions default to 0..T-1; pass explicit positions for left-padded
+    prompts. segment_ids: [B,T] ints; -1 marks padding (pads attend nowhere
+    that matters and are excluded as keys).
+    """
+    dt = cfg.compute_dtype
+    b, t = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+
+    x = params["embed"][input_ids].astype(dt) * 1.0
+    if cfg.pos == "learned":
+        x = x + params["pos_embed"][positions + cfg.learned_pos_offset].astype(dt)
+
+    layer_params = params["layers"]
+
+    if cache is None:
+        def body(carry, lp):
+            out, _ = _layer(carry, lp, positions, segment_ids, cfg)
+            return out, None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, layer_params)
+        new_cache = None
+    else:
+        def body(carry, xs):
+            lp, ck, cv = xs
+            out, new_kv = _layer(carry, lp, positions, segment_ids, cfg,
+                                 cache_kv=(ck, cv), cache_index=cache_index)
+            return out, new_kv
+
+        x, new_cache = jax.lax.scan(body, x, (layer_params, cache[0], cache[1]))
+
+    x = _norm(x, params["final_norm_scale"], params.get("final_norm_bias"), cfg)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32), head.astype(jnp.float32))
+    return logits, new_cache
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
+    """KV cache arrays [L, B, Hkv, Tmax, Dh] (stacked for the layer scan)."""
+    dtype = dtype or cfg.compute_dtype
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

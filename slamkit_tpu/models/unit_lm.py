@@ -1,0 +1,220 @@
+"""UnitLM — the trainable unit language model.
+
+JAX counterpart of the reference's UnitLM/UnitLMConfig
+(reference slamkit/model/unit_lm.py:32-212): wraps a decoder over a unit
+vocabulary, with TWIST init (pretrained text-LM warm start + embedding resize,
+unit_lm.py:94-111) or fresh init (gslm), shift-CE loss with packing-aware
+normalization (unit_lm.py:13-29), masked log-likelihood scoring
+(unit_lm.py:184-194) and sampling generation.
+
+Functional core: `UnitLM` owns a params pytree + a DecoderConfig; all compute
+methods are jitted pure functions so the same object serves the pjit trainer
+and the eval stack.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.calculation_utils import calc_nll, cross_entropy_loss
+from .generate import generate as _generate
+from .presets import resolve_base_config
+from .transformer import DecoderConfig, forward, init_params, param_count
+
+logger = logging.getLogger(__name__)
+
+CONFIG_NAME = "unit_lm_config.json"
+WEIGHTS_NAME = "params.npz"
+
+
+@dataclasses.dataclass
+class UnitLMConfig:
+    """Mirrors the reference's config surface (unit_lm.py:32-79) plus the
+    resolved decoder architecture."""
+
+    base_model_name: str = "facebook/opt-125m"
+    vocab_size: int = 502
+    twist_init: bool = True
+    use_cache: bool = True
+    pad_token_id: int = 0
+    bos_token_id: int = 1
+    eos_token_id: int = 1
+    torch_dtype: Optional[str] = None      # 'bfloat16' | 'float32' | None
+    attn_implementation: Optional[str] = None  # null | flash_attention_2 | xla
+    rope_theta: Optional[float] = None
+    trust_remote_code: Optional[bool] = None   # accepted for surface parity
+    use_safetensors: Optional[bool] = None
+    dropout: float = 0.0                   # accepted; decoder runs dropout-free
+    attention_dropout: float = 0.0
+    layerdrop: float = 0.0
+    remat: bool = False
+
+    def decoder_config(self) -> DecoderConfig:
+        attn_impl = {"flash_attention_2": "flash", None: "auto"}.get(
+            self.attn_implementation, self.attn_implementation or "auto")
+        dtype = "bfloat16" if self.torch_dtype in ("bfloat16", None) else "float32"
+        return resolve_base_config(
+            self.base_model_name,
+            vocab_size=self.vocab_size,
+            rope_theta=self.rope_theta,
+            dtype=dtype,
+            attn_impl=attn_impl,
+            remat=self.remat or None,
+        )
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "UnitLMConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        extra = {k: v for k, v in d.items() if k not in known}
+        if extra:
+            logger.info("Ignoring unknown UnitLMConfig keys: %s", sorted(extra))
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+class UnitLM:
+    def __init__(self, config: UnitLMConfig, params: Optional[dict] = None,
+                 seed: int = 0, from_pretrained: bool = False):
+        self.config = config
+        self.decoder = config.decoder_config()
+        if params is not None:
+            self.params = params
+        elif config.twist_init and not from_pretrained:
+            from .hf_convert import load_twist_params
+
+            self.params = load_twist_params(config, self.decoder, seed=seed)
+        else:
+            self.params = init_params(self.decoder, jax.random.PRNGKey(seed))
+        logger.info("UnitLM: %s, %.1fM params", config.base_model_name,
+                    param_count(self.params) / 1e6)
+
+    # -- core compute ---------------------------------------------------------
+    def loss_fn(self, params, batch: dict) -> jax.Array:
+        """Training loss on {'input_ids', 'labels', 'segment_ids'?, 'positions'?,
+        'num_items_in_batch'?} (shift-CE, reference unit_lm.py:13-29)."""
+        logits, _ = forward(params, self.decoder, batch["input_ids"],
+                            positions=batch.get("positions"),
+                            segment_ids=batch.get("segment_ids"))
+        return cross_entropy_loss(logits, batch["labels"],
+                                  batch.get("num_items_in_batch"))
+
+    @partial(jax.jit, static_argnames=("self", "mean_nll"))
+    def _ll(self, tokens, ignore_mask, mean_nll: bool):
+        seg = jnp.where(tokens == self.config.pad_token_id, -1, 0).astype(jnp.int32)
+        # the reference scores bos as a real token; only pads are masked.
+        logits, _ = forward(self.params, self.decoder, tokens, segment_ids=seg)
+        if ignore_mask is not None:
+            logits = jnp.where(ignore_mask[None, None, :], -jnp.inf, logits)
+        shifted_x = tokens[..., 1:]
+        shifted_logits = logits[..., :-1, :]
+        mask = shifted_x != self.config.pad_token_id
+        return -calc_nll(shifted_logits, shifted_x, mask, mean_nll)
+
+    def log_likelihood(self, tokens, mean_nll: bool = True,
+                       ignore_tokens: Optional[List[int]] = None) -> jax.Array:
+        """Per-sequence log likelihood (reference unit_lm.py:184-194):
+        optional -inf masking of ignored vocab ids, pads excluded."""
+        tokens = jnp.asarray(tokens)
+        ignore_mask = None
+        if ignore_tokens is not None:
+            m = np.zeros((self.decoder.vocab_size,), bool)
+            m[np.asarray(ignore_tokens, dtype=int)] = True
+            ignore_mask = jnp.asarray(m)
+        return self._ll(tokens, ignore_mask, mean_nll)
+
+    def generate(self, input_ids, attention_mask=None, *, max_new_tokens: int = 150,
+                 do_sample: bool = True, temperature: float = 1.0,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 bad_words_ids: Optional[list] = None,
+                 seed: Optional[int] = None, rng: Optional[jax.Array] = None,
+                 **ignored) -> jax.Array:
+        """Sampling generation; prompts must be LEFT-padded like the reference
+        sets padding_side='left' before building prompts (speech_lm.py:44)."""
+        input_ids = jnp.asarray(input_ids)
+        if attention_mask is None:
+            attention_mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+        else:
+            attention_mask = jnp.asarray(attention_mask)
+        bad_mask = None
+        if bad_words_ids:
+            m = np.zeros((self.decoder.vocab_size,), bool)
+            for ids in bad_words_ids:
+                ids = ids if isinstance(ids, (list, tuple)) else [ids]
+                if len(ids) == 1:  # only unigram bans exist in the pipeline
+                    m[int(ids[0])] = True
+            bad_mask = jnp.asarray(m)
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
+        return _generate(self.params, self.decoder, input_ids,
+                         jnp.asarray(attention_mask), rng,
+                         max_new_tokens=max_new_tokens, do_sample=do_sample,
+                         temperature=temperature, top_k=top_k, top_p=top_p,
+                         eos_token_id=self.config.eos_token_id,
+                         pad_token_id=self.config.pad_token_id,
+                         bad_words_mask=bad_mask)
+
+    # -- persistence ----------------------------------------------------------
+    def save_pretrained(self, save_directory: str):
+        os.makedirs(save_directory, exist_ok=True)
+        with open(os.path.join(save_directory, CONFIG_NAME), "w") as f:
+            json.dump(self.config.to_dict(), f, indent=2)
+        np.savez(os.path.join(save_directory, WEIGHTS_NAME),
+                 **_flatten(self.params))
+
+    @classmethod
+    def from_pretrained(cls, path: str, **overrides) -> "UnitLM":
+        with open(os.path.join(path, CONFIG_NAME)) as f:
+            cfg = UnitLMConfig.from_dict({**json.load(f), **overrides})
+        flat = np.load(os.path.join(path, WEIGHTS_NAME))
+        params = _unflatten({k: flat[k] for k in flat.files})
+        return cls(cfg, params=params, from_pretrained=True)
+
+
+def tlm_factory(cfg) -> UnitLM:
+    """Build a UnitLM from the composed model config
+    (reference slamkit/model/token_lm.py:30-43)."""
+    if cfg.tlm_type not in ("twist", "gslm"):
+        raise ValueError(f"Unknown tlm type: {cfg.tlm_type}")
+    if cfg.get("pretrained_model"):
+        return UnitLM.from_pretrained(
+            cfg.pretrained_model,
+            attn_implementation=cfg.config_args.get("attn_implementation"),
+            torch_dtype=cfg.config_args.get("torch_dtype"),
+            use_cache=cfg.config_args.get("use_cache", False),
+        )
+    from ..config import to_container
+
+    config = UnitLMConfig.from_dict(to_container(cfg.config_args))
+    return UnitLM(config)

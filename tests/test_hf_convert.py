@@ -1,0 +1,93 @@
+"""Numeric parity: HF torch forward vs converted JAX forward, per family.
+
+Tiny random models are constructed locally from transformers configs (no hub
+downloads), converted with hf_convert, and compared logit-for-logit. This is
+the gate for TWIST-init correctness (reference unit_lm.py:94-102)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from slamkit_tpu.models.hf_convert import convert_state_dict, resize_embeddings
+from slamkit_tpu.models.presets import config_from_hf_dict
+from slamkit_tpu.models.transformer import DecoderConfig, forward
+
+
+def _compare(hf_model, hf_cfg_dict, atol=2e-4):
+    hf_model.eval()
+    cfg = DecoderConfig(**config_from_hf_dict(hf_cfg_dict),
+                        dtype="float32", attn_impl="xla")
+    sd = {k: v.detach().float().numpy() for k, v in hf_model.state_dict().items()}
+    params = convert_state_dict(sd, cfg)
+
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, size=(2, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.float().numpy()
+    ours, _ = forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=atol, rtol=1e-3)
+    return cfg, params
+
+
+def test_qwen2_parity():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=True, attn_implementation="eager")
+    model = Qwen2ForCausalLM(hf_cfg)
+    _compare(model, {**hf_cfg.to_dict(), "model_type": "qwen2"})
+
+
+def test_llama_parity():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager")
+    model = LlamaForCausalLM(hf_cfg)
+    _compare(model, {**hf_cfg.to_dict(), "model_type": "llama"})
+
+
+def test_opt_parity():
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=99, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, activation_function="relu",
+        word_embed_proj_dim=32, attn_implementation="eager")
+    model = OPTForCausalLM(hf_cfg)
+    _compare(model, {**hf_cfg.to_dict(), "model_type": "opt"})
+
+
+def test_gptneox_parity():
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    hf_cfg = GPTNeoXConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, rotary_pct=0.25,
+        use_parallel_residual=True, tie_word_embeddings=False,
+        attn_implementation="eager")
+    model = GPTNeoXForCausalLM(hf_cfg)
+    _compare(model, {**hf_cfg.to_dict(), "model_type": "gpt_neox"})
+
+
+def test_resize_embeddings_keeps_overlap():
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf_cfg = Qwen2Config(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=True, attn_implementation="eager")
+    model = Qwen2ForCausalLM(hf_cfg)
+    cfg, params = _compare(model, {**hf_cfg.to_dict(), "model_type": "qwen2"})
+    resized = resize_embeddings(params, cfg, 502)
+    assert resized["embed"].shape == (502, 32)
+    np.testing.assert_array_equal(resized["embed"][:99], params["embed"][:99])

@@ -1,0 +1,145 @@
+"""Decoder core tests: shapes, training signal, cache-consistent decode, and
+numeric parity of HF weight conversion for every supported family."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamkit_tpu.models import (DecoderConfig, forward, init_params, init_cache,
+                                generate)
+from slamkit_tpu.utils.calculation_utils import cross_entropy_loss
+
+TINY = DecoderConfig(
+    vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=2, num_kv_heads=2, head_dim=16, max_position_embeddings=128,
+    dtype="float32", attn_impl="xla",
+)
+
+
+def _variants():
+    yield TINY  # llama/qwen-ish (rmsnorm, rope, swiglu)
+    yield dataclasses.replace(TINY, num_kv_heads=1, qkv_bias=True)  # GQA + bias
+    yield dataclasses.replace(  # OPT-ish
+        TINY, norm="layernorm", norm_bias=True, act="relu", pos="learned",
+        learned_pos_offset=2, qkv_bias=True, attn_out_bias=True, mlp_bias=True)
+    yield dataclasses.replace(  # pythia-ish
+        TINY, norm="layernorm", norm_bias=True, act="gelu", rotary_pct=0.25,
+        parallel_residual=True, qkv_bias=True, attn_out_bias=True,
+        mlp_bias=True, tie_word_embeddings=False)
+
+
+@pytest.mark.parametrize("cfg", list(_variants()))
+def test_forward_shapes(cfg):
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    logits, _ = forward(params, cfg, ids)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_loss_decreases_when_overfitting():
+    import optax
+
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 2, cfg.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss(p):
+            logits, _ = forward(p, cfg, batch["input_ids"])
+            return cross_entropy_loss(logits, batch["labels"])
+
+        l, g = jax.value_and_grad(loss)(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, l
+
+    losses = []
+    for _ in range(30):
+        params, state, l = step(params, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.5, losses[::6]
+
+
+def test_causality():
+    """Changing a future token must not affect past logits."""
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0, cfg.vocab_size)
+    logits1, _ = forward(params, cfg, ids)
+    ids2 = ids.at[0, 10].set((ids[0, 10] + 1) % cfg.vocab_size)
+    logits2, _ = forward(params, cfg, ids2)
+    np.testing.assert_allclose(logits1[0, :10], logits2[0, :10], atol=1e-5)
+    assert not np.allclose(logits1[0, 10:], logits2[0, 10:], atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", [TINY, dataclasses.replace(TINY, num_kv_heads=1)])
+def test_cache_decode_matches_full_forward(cfg):
+    """Prefill + step-by-step decode must reproduce the full-sequence logits."""
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    full_logits, _ = forward(params, cfg, ids)
+
+    l0 = 8
+    cache = init_cache(cfg, 2, 12, dtype=jnp.float32)
+    logits_pre, cache = forward(params, cfg, ids[:, :l0], cache=cache, cache_index=0)
+    np.testing.assert_allclose(logits_pre, full_logits[:, :l0], atol=1e-4, rtol=1e-4)
+    for i in range(l0, 12):
+        pos = jnp.full((2, 1), i)
+        step_logits, cache = forward(params, cfg, ids[:, i:i + 1], positions=pos,
+                                     cache=cache, cache_index=i)
+        np.testing.assert_allclose(step_logits[:, 0], full_logits[:, i],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"step {i}")
+
+
+def test_generate_greedy_left_pad_invariance():
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 6), 2, cfg.vocab_size)
+    rng = jax.random.PRNGKey(0)
+
+    def run(pad):
+        ids = jnp.concatenate([jnp.zeros((1, pad), prompt.dtype), prompt], axis=1)
+        mask = jnp.concatenate([jnp.zeros((1, pad), jnp.int32), jnp.ones((1, 6), jnp.int32)], axis=1)
+        out = generate(params, cfg, ids, mask, rng, max_new_tokens=8,
+                       do_sample=False, pad_token_id=0)
+        return out[:, pad + 6:]
+
+    np.testing.assert_array_equal(run(0), run(5))
+
+
+def test_generate_bad_words_never_sampled():
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 2, cfg.vocab_size)
+    mask = jnp.ones_like(ids)
+    banned = np.zeros((cfg.vocab_size,), bool)
+    banned[10:40] = True
+    out = generate(params, cfg, ids, mask, jax.random.PRNGKey(7),
+                   max_new_tokens=24, do_sample=True, temperature=2.0,
+                   bad_words_mask=jnp.asarray(banned), pad_token_id=0)
+    gen = np.asarray(out[:, 4:])
+    assert not np.isin(gen, np.arange(10, 40)).any()
+
+
+def test_generate_eos_padding():
+    cfg = TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.full((1, 3), 5, jnp.int32)
+    mask = jnp.ones_like(ids)
+    # ban everything except eos id 7 → first sample must be eos, rest pads
+    banned = np.ones((cfg.vocab_size,), bool)
+    banned[7] = False
+    out = generate(params, cfg, ids, mask, jax.random.PRNGKey(0),
+                   max_new_tokens=5, do_sample=False, eos_token_id=7,
+                   pad_token_id=0, bad_words_mask=jnp.asarray(banned))
+    gen = np.asarray(out[0, 3:])
+    assert gen[0] == 7
+    assert (gen[1:] == 0).all()
