@@ -1,0 +1,79 @@
+"""Headline benchmark: Slam-recipe training throughput on one chip.
+
+Trains the flagship configuration (Qwen2.5-0.5B decoder over the 502-id unit
+vocabulary, context 1024, packed batches — reference config/model/slam.yaml +
+README.md:89) on synthetic packed batches and reports LM tokens/sec/chip.
+
+Baseline: the reference's Slam run processes 1.4B tokens in 24h on 1×A5000
+(BASELINE.md) ≈ 16,204 tokens/sec. vs_baseline = ours / that.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOKENS_PER_SEC = 1.4e9 / (24 * 3600)  # reference Slam: 24h / 1.4B tokens
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    batch_size, context_len = 8, 1024
+    cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
+                       twist_init=False, rope_theta=10000.0,
+                       torch_dtype="bfloat16", remat=False)
+    model = UnitLM(cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    # fully-packed batch: ~8 segments per row, like real deduped unit streams
+    seg_len = context_len // 8
+    seg = np.repeat(np.arange(8), seg_len)[None].repeat(batch_size, 0)
+    pos = np.tile(np.arange(seg_len), 8)[None].repeat(batch_size, 0)
+    batch = {
+        "input_ids": rng.integers(2, 502, (batch_size, context_len)).astype(np.int32),
+        "labels": rng.integers(2, 502, (batch_size, context_len)).astype(np.int32),
+        "segment_ids": seg.astype(np.int32),
+        "positions": pos.astype(np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    import optax
+
+    tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adamw(1e-3))
+    opt_state = tx.init(model.params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(model.loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params = model.params
+    # compile + warmup
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = n_steps * batch_size * context_len / dt
+    print(json.dumps({
+        "metric": "slam_train_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

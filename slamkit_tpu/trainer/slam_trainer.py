@@ -1,0 +1,358 @@
+"""SLAMTrainer — the TPU-native training loop.
+
+Replaces the reference's HF Trainer subclass + accelerate/DDP stack
+(reference slamkit/trainer/slam_trainer.py:20-71) with a jitted, mesh-sharded
+train step:
+
+  * one `jax.jit` step over a Mesh('data'[, 'model']) — batches sharded over
+    'data', params replicated or fsdp-sharded (ZeRO-3) via NamedSharding;
+    gradient reduction is XLA's problem (psum over ICI), not a NCCL call.
+  * gradient accumulation as a `lax.scan` over stacked microbatches inside
+    the step — grads summed in-carry (activation memory freed per micro),
+    loss normalized by the GLOBAL valid-token count exactly like the
+    reference's `num_items_in_batch` contract (reference unit_lm.py:24-28).
+  * `num_input_tokens_seen` counted on-device in the configured id range
+    (reference slam_trainer.py:59-71, min/max_token_id_count) — the global
+    sum is free under jit (the array is already global), no explicit gather.
+  * budget stops, eval, checkpoint/resume via orbax, save_total_limit.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.dataset import Batcher, TokenDataset
+from ..parallel.mesh import make_mesh, param_shardings, replicated
+from .callbacks import TrainerCallback, TrainerControl, TrainerState
+from .optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+CKPT_PREFIX = "checkpoint-"
+
+
+def _stack_microbatches(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+class SLAMTrainer:
+    """Train a UnitLM over TokenDatasets.
+
+    args is the composed `training_args` config node (the reference passes HF
+    TrainingArguments; the surface is preserved — SURVEY.md §5.6)."""
+
+    def __init__(self, model, args, train_dataset: TokenDataset,
+                 eval_dataset: Optional[TokenDataset] = None,
+                 callbacks: Optional[List[TrainerCallback]] = None,
+                 packing: bool = False, context_len: Optional[int] = None,
+                 log_fn=None, mesh=None):
+        self.model = model
+        self.args = args
+        self.callbacks = callbacks or []
+        self.log_fn = log_fn
+        self.mesh = mesh or make_mesh(args.get("mesh_shape", None))
+        self.accum = int(args.get("gradient_accumulation_steps", 1) or 1)
+        n_data = self.mesh.shape["data"]
+        self.global_batch = int(args.per_device_train_batch_size) * n_data
+        self.context_len = int(context_len or model.decoder.max_position_embeddings)
+        self.state = TrainerState()
+        self.control = TrainerControl()
+
+        self.train_batcher = Batcher(
+            train_dataset, self.global_batch, self.context_len,
+            pad_id=model.config.pad_token_id, packing=packing,
+            shuffle=True, seed=int(args.get("seed", 0)),
+            process_index=jax.process_index(), process_count=jax.process_count())
+        self.eval_batcher = None
+        if eval_dataset is not None and len(eval_dataset):
+            self.eval_batcher = Batcher(
+                eval_dataset,
+                int(args.get("per_device_eval_batch_size",
+                             args.per_device_train_batch_size)) * n_data,
+                self.context_len, pad_id=model.config.pad_token_id,
+                packing=packing, shuffle=False)
+
+        # -- steps accounting ------------------------------------------------
+        batches_per_epoch = self.train_batcher.batches_per_epoch()
+        self.steps_per_epoch = max(batches_per_epoch // self.accum, 1)
+        max_steps = int(args.get("max_steps", -1) or -1)
+        if max_steps > 0:
+            self.total_steps = max_steps
+        else:
+            epochs = float(args.get("num_train_epochs", 1))
+            self.total_steps = max(int(epochs * self.steps_per_epoch), 1)
+        self.state.max_steps = self.total_steps
+
+        # -- optimizer + jitted step ------------------------------------------
+        self.tx, self.schedule = make_optimizer(args, self.total_steps)
+        self._build_step()
+
+    # ------------------------------------------------------------------ #
+    # jitted compute
+    # ------------------------------------------------------------------ #
+    def _build_step(self):
+        mesh = self.mesh
+        model, tx = self.model, self.tx
+        min_id = self.args.get("min_token_id_count", None)
+        max_id = self.args.get("max_token_id_count", None)
+
+        def count_tokens(labels):
+            valid = labels != -100
+            if min_id is not None:
+                valid &= labels >= min_id
+            if max_id is not None:
+                valid &= labels <= max_id
+            return valid.sum()
+
+        def step_fn(state, batch):
+            num_items = batch["num_items_in_batch"].sum()
+            micro = {k: batch[k] for k in
+                     ("input_ids", "labels", "segment_ids", "positions")}
+
+            def one(params, mb):
+                return model.loss_fn(params, {**mb, "num_items_in_batch": num_items})
+
+            def body(carry, mb):
+                loss_acc, grad_acc = carry
+                loss, grads = jax.value_and_grad(one)(state["params"], mb)
+                return (loss_acc + loss,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+            (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), micro)
+            import optax
+
+            updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            metrics = {"loss": loss, "tokens_seen": count_tokens(batch["labels"])}
+            return {"params": new_params, "opt_state": new_opt}, metrics
+
+        # eval: sum NLL + valid count per batch (host accumulates)
+        def eval_step(params, batch):
+            from ..models.transformer import forward
+            from ..utils.calculation_utils import token_nll
+            logits, _ = forward(params, model.decoder, batch["input_ids"],
+                                positions=batch["positions"],
+                                segment_ids=batch["segment_ids"])
+            labels = batch["labels"]
+            shift_logits = logits[..., :-1, :]
+            shift_labels = labels[..., 1:]
+            valid = shift_labels != -100
+            nll = token_nll(shift_logits, shift_labels) * valid
+            return nll.sum(), valid.sum()
+
+        self._param_sh = param_shardings(self.model.params, mesh,
+                                         fsdp=bool(self.args.get("fsdp", False)))
+        rep = replicated(mesh)
+        opt_state = self.tx.init(self.model.params)
+
+        # optimizer moments shard like their params (same shapes); scalars replicated
+        def opt_sharding(x):
+            if hasattr(x, "shape") and x.shape and x.shape in self._opt_shape_map:
+                return self._opt_shape_map[x.shape]
+            return rep
+
+        # map param shapes -> shardings (moments have identical shapes)
+        self._opt_shape_map = {}
+        for p, s in zip(jax.tree_util.tree_leaves(self.model.params),
+                        jax.tree_util.tree_leaves(self._param_sh)):
+            self._opt_shape_map[p.shape] = s
+        opt_sh = jax.tree_util.tree_map(opt_sharding, opt_state)
+        self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
+
+        batch_sh = {
+            "input_ids": NamedSharding(mesh, P(None, "data")),
+            "labels": NamedSharding(mesh, P(None, "data")),
+            "segment_ids": NamedSharding(mesh, P(None, "data")),
+            "positions": NamedSharding(mesh, P(None, "data")),
+            "num_items_in_batch": rep,
+        }
+        self._batch_sh = batch_sh
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,),
+                                   in_shardings=(self._state_sh, batch_sh),
+                                   out_shardings=(self._state_sh, None))
+        eval_batch_sh = {k: NamedSharding(mesh, P("data"))
+                         for k in ("input_ids", "labels", "segment_ids", "positions")}
+        eval_batch_sh["num_items_in_batch"] = rep
+        self._eval_step = jax.jit(eval_step,
+                                  in_shardings=(self._param_sh, eval_batch_sh))
+        self.train_state = jax.device_put(
+            {"params": self.model.params, "opt_state": opt_state}, self._state_sh)
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (SURVEY.md §5.4 — orbax + json trainer state)
+    # ------------------------------------------------------------------ #
+    def _ckpt_dir(self, step: int) -> str:
+        return os.path.join(self.args.output_dir, f"{CKPT_PREFIX}{step}")
+
+    def save_checkpoint(self):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self._ckpt_dir(self.state.global_step))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        host_state = jax.device_get(self.train_state)
+        ckptr.save(os.path.join(path, "state"), host_state)
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump({"global_step": self.state.global_step,
+                       "epoch": self.state.epoch,
+                       "num_input_tokens_seen": self.state.num_input_tokens_seen,
+                       "log_history": self.state.log_history[-50:]}, f)
+        # export model for eval/from_pretrained parity
+        self.model.params = jax.device_get(self.train_state["params"])
+        self.model.save_pretrained(path)
+        self._rotate_checkpoints()
+        logger.info("Saved checkpoint %s", path)
+
+    def _rotate_checkpoints(self):
+        limit = self.args.get("save_total_limit", None)
+        if not limit:
+            return
+        ckpts = sorted(
+            (int(d[len(CKPT_PREFIX):]) for d in os.listdir(self.args.output_dir)
+             if d.startswith(CKPT_PREFIX) and d[len(CKPT_PREFIX):].isdigit()))
+        for step in ckpts[:-limit]:
+            shutil.rmtree(self._ckpt_dir(step), ignore_errors=True)
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        if not os.path.isdir(self.args.output_dir):
+            return None
+        ckpts = [(int(d[len(CKPT_PREFIX):]), d) for d in os.listdir(self.args.output_dir)
+                 if d.startswith(CKPT_PREFIX) and d[len(CKPT_PREFIX):].isdigit()]
+        if not ckpts:
+            return None
+        return os.path.join(self.args.output_dir, max(ckpts)[1])
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.device_get(self.train_state)
+        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")),
+                                 target=template)
+        self.train_state = jax.device_put(restored, self._state_sh)
+        with open(os.path.join(path, "trainer_state.json")) as f:
+            st = json.load(f)
+        self.state.global_step = st["global_step"]
+        self.state.epoch = st["epoch"]
+        self.state.num_input_tokens_seen = st["num_input_tokens_seen"]
+        self.state.log_history = st.get("log_history", [])
+        logger.info("Resumed from %s at step %d", path, self.state.global_step)
+
+    # ------------------------------------------------------------------ #
+    # loops
+    # ------------------------------------------------------------------ #
+    def evaluate(self) -> Dict[str, float]:
+        if self.eval_batcher is None:
+            return {}
+        total_nll, total_tokens = 0.0, 0
+        for batch in self.eval_batcher.epoch(0):
+            batch = jax.device_put(batch, self._eval_batch_put(batch))
+            nll, n = self._eval_step(self.train_state["params"], batch)
+            total_nll += float(nll)
+            total_tokens += int(n)
+        loss = total_nll / max(total_tokens, 1)
+        metrics = {"eval_loss": loss, "eval_ppl": float(np.exp(min(loss, 30.0)))}
+        self._log({**metrics, "step": self.state.global_step})
+        return metrics
+
+    def _eval_batch_put(self, batch):
+        rep = replicated(self.mesh)
+        data = NamedSharding(self.mesh, P("data"))
+        return {k: (data if np.ndim(v) >= 2 else rep) for k, v in batch.items()}
+
+    def _log(self, record: dict):
+        self.state.log_history.append(record)
+        logger.info("%s", record)
+        if self.log_fn is not None:
+            self.log_fn(record)
+
+    def train(self, resume_from_checkpoint=False):
+        args, state, control = self.args, self.state, self.control
+        if resume_from_checkpoint:
+            path = (resume_from_checkpoint if isinstance(resume_from_checkpoint, str)
+                    else self._latest_checkpoint())
+            if path:
+                self.load_checkpoint(path)
+
+        for cb in self.callbacks:
+            cb.on_train_begin(args, state, control)
+
+        logging_steps = int(args.get("logging_steps", 50) or 50)
+        save_steps = int(args.get("save_steps", 0) or 0)
+        eval_steps = int(args.get("eval_steps", 0) or 0)
+        do_eval = args.get("eval_strategy", "no") == "steps" and self.eval_batcher
+
+        window_loss, window_t0, window_tokens = [], time.time(), 0
+        epoch = int(state.epoch)
+        start_step_in_epoch = state.global_step - epoch * self.steps_per_epoch
+        skip = max(start_step_in_epoch, 0) * self.accum
+
+        while state.global_step < self.total_steps and not control.should_training_stop:
+            pending: List[dict] = []
+            for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
+                pending.append(batch)
+                if len(pending) < self.accum:
+                    continue
+                stacked = _stack_microbatches(pending)
+                pending = []
+                stacked = jax.device_put(stacked, self._batch_sh)
+                self.train_state, metrics = self._train_step(self.train_state, stacked)
+                state.global_step += 1
+                state.epoch = epoch + (state.global_step - epoch * self.steps_per_epoch) \
+                    / self.steps_per_epoch
+                loss = float(metrics["loss"])
+                tokens = int(metrics["tokens_seen"])
+                state.num_input_tokens_seen += tokens
+                window_loss.append(loss)
+                window_tokens += tokens
+
+                if state.global_step % logging_steps == 0:
+                    dt = time.time() - window_t0
+                    self._log({
+                        "loss": float(np.mean(window_loss)),
+                        "learning_rate": float(self.schedule(state.global_step)),
+                        "num_input_tokens_seen": state.num_input_tokens_seen,
+                        "tokens_per_sec": window_tokens / max(dt, 1e-9),
+                        "epoch": round(state.epoch, 4),
+                        "step": state.global_step,
+                    })
+                    window_loss, window_t0, window_tokens = [], time.time(), 0
+
+                for cb in self.callbacks:
+                    cb.on_step_end(args, state, control)
+                if do_eval and eval_steps and state.global_step % eval_steps == 0:
+                    control.should_evaluate = True
+                if save_steps and state.global_step % save_steps == 0:
+                    control.should_save = True
+
+                if control.should_evaluate:
+                    control.should_evaluate = False
+                    self.evaluate()
+                if control.should_save:
+                    control.should_save = False
+                    self.save_checkpoint()
+                if control.should_training_stop or state.global_step >= self.total_steps:
+                    break
+            epoch += 1
+            skip = 0
+
+        # final evaluate + save (a budget-boxed run always ends usable)
+        if do_eval:
+            self.evaluate()
+        self.save_checkpoint()
+        for cb in self.callbacks:
+            cb.on_train_end(args, state, control)
+        self.model.params = jax.device_get(self.train_state["params"])
+        return state

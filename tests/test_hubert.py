@@ -1,0 +1,180 @@
+"""HuBERT numeric-parity tests: tiny random HF HubertModel (torch CPU) vs the
+JAX port — conv frontend, layer tap indexing, k-means ids, extract() trim
+semantics (SURVEY.md §4 'numeric parity tests')."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from slamkit_tpu.feature_extractor.hubert_jax import (HubertConfig,
+                                                      convert_hf_state_dict,
+                                                      forward)
+from slamkit_tpu.feature_extractor.kmeans import (assign_clusters, kmeans_fit,
+                                                  load_kmeans_centroids,
+                                                  save_kmeans_centroids)
+
+TINY = dict(
+    hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+    intermediate_size=64, conv_dim=[16, 16, 16], conv_kernel=[10, 3, 2],
+    conv_stride=[5, 2, 2], num_feat_extract_layers=3,
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    mask_time_prob=0.0, mask_feature_prob=0.0, do_stable_layer_norm=False,
+    feat_extract_norm="group", layer_norm_eps=1e-5,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    torch.manual_seed(0)
+    hf_cfg = transformers.HubertConfig(**TINY)
+    model = transformers.HubertModel(hf_cfg).eval()
+    cfg = HubertConfig.from_hf_dict(hf_cfg.to_dict())
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_state_dict(sd, cfg)
+    return model, params, cfg
+
+
+def test_hidden_state_parity_all_taps(tiny_pair):
+    model, params, cfg = tiny_pair
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((2, 3200)).astype(np.float32)
+    with torch.inference_mode():
+        out = model(torch.from_numpy(wav), output_hidden_states=True)
+    for tap in range(cfg.num_hidden_layers + 1):
+        got = np.asarray(forward(params, cfg, wav, tap_layer=tap))
+        want = out.hidden_states[tap].numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"tap {tap}")
+
+
+def test_last_hidden_state_parity(tiny_pair):
+    model, params, cfg = tiny_pair
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal((1, 4800)).astype(np.float32)
+    with torch.inference_mode():
+        want = model(torch.from_numpy(wav)).last_hidden_state.numpy()
+    got = np.asarray(forward(params, cfg, wav, tap_layer=None))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_stable_layer_norm_variant():
+    torch.manual_seed(1)
+    cfg_d = dict(TINY, do_stable_layer_norm=True, feat_extract_norm="layer",
+                 conv_bias=True)
+    hf_cfg = transformers.HubertConfig(**cfg_d)
+    model = transformers.HubertModel(hf_cfg).eval()
+    cfg = HubertConfig.from_hf_dict(hf_cfg.to_dict())
+    params = convert_hf_state_dict(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}, cfg)
+    rng = np.random.default_rng(2)
+    wav = rng.standard_normal((2, 3200)).astype(np.float32)
+    with torch.inference_mode():
+        out = model(torch.from_numpy(wav), output_hidden_states=True)
+    got = np.asarray(forward(params, cfg, wav, tap_layer=None))
+    np.testing.assert_allclose(got, out.last_hidden_state.numpy(),
+                               rtol=2e-4, atol=2e-5)
+    got2 = np.asarray(forward(params, cfg, wav, tap_layer=2))
+    np.testing.assert_allclose(got2, out.hidden_states[2].numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+# --------------------------------------------------------------------------- #
+# k-means
+# --------------------------------------------------------------------------- #
+def test_assign_clusters_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 16)).astype(np.float32)
+    c = rng.standard_normal((10, 16)).astype(np.float32)
+    got = np.asarray(assign_clusters(x, c))
+    want = np.argmin(((x[:, None] - c[None]) ** 2).sum(-1), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kmeans_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((10, 8)).astype(np.float32)
+    save_kmeans_centroids(str(tmp_path / "km"), c)
+    back = load_kmeans_centroids(str(tmp_path / "km.npy"))
+    np.testing.assert_array_equal(back, c)
+
+
+def test_kmeans_sklearn_pickle_compat(tmp_path):
+    # the GSLM .bin files are joblib-pickled sklearn estimators
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.cluster import KMeans
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    km = KMeans(n_clusters=5, n_init=2, random_state=0).fit(x)
+    import joblib
+
+    joblib.dump(km, tmp_path / "km.bin")
+    c = load_kmeans_centroids(str(tmp_path / "km.bin"))
+    np.testing.assert_allclose(c, km.cluster_centers_, rtol=1e-6)
+    # on-device assignment == sklearn predict
+    got = np.asarray(assign_clusters(x, c))
+    np.testing.assert_array_equal(got, km.predict(x))
+
+
+def test_kmeans_fit_converges():
+    rng = np.random.default_rng(0)
+    blobs = np.concatenate([rng.standard_normal((100, 4)) + 8 * i
+                            for i in range(3)]).astype(np.float32)
+    c = kmeans_fit(blobs, 3, iters=10, seed=0)
+    ids = np.asarray(assign_clusters(blobs, c))
+    assert len(np.unique(ids)) == 3
+    # each blob maps to a single cluster
+    for i in range(3):
+        assert len(np.unique(ids[i * 100:(i + 1) * 100])) == 1
+
+
+# --------------------------------------------------------------------------- #
+# extractor wrapper semantics
+# --------------------------------------------------------------------------- #
+def test_extract_trim_and_pad(tiny_pair, tmp_path):
+    model, params, cfg = tiny_pair
+    from slamkit_tpu.feature_extractor.hubert_feature_extractor import \
+        HubertFeatureExtractor
+
+    fe = HubertFeatureExtractor.__new__(HubertFeatureExtractor)
+    fe.layer = 2
+    fe.num_units = 10
+    fe.bucket_samples = None  # batch-max padding = exact reference semantics
+    fe.config = cfg
+    fe.params = params
+    rng = np.random.default_rng(0)
+    fe.centroids = rng.standard_normal((10, cfg.hidden_size)).astype(np.float32)
+    import jax
+    fe._extract = jax.jit(fe._extract_fn)
+
+    wav = rng.standard_normal((2, 3000)).astype(np.float32)
+    lens = np.array([3000, 1500])
+    toks = fe.extract(wav, lens)
+    assert len(toks) == 2
+    # reference trim rule: ceil(lens / wav_len * frames(wav_len))
+    frames = fe._n_frames(3000)
+    assert len(toks[0]) == frames
+    assert len(toks[1]) == int(np.ceil(1500 / 3000 * frames))
+
+    # parity with the reference pipeline run manually (pad 40 + tap + trim)
+    with torch.inference_mode():
+        import torch.nn.functional as F
+        hid = model(F.pad(torch.from_numpy(wav), (40, 40)),
+                    output_hidden_states=True).hidden_states[2].numpy()
+    # (bucketing pads the wav, but trimmed frames must agree)
+    want_units = np.argmin(
+        ((hid[:, :, None] - fe.centroids[None, None]) ** 2).sum(-1), -1)
+    np.testing.assert_array_equal(toks[0], want_units[0][:len(toks[0])])
+    np.testing.assert_array_equal(toks[1], want_units[1][:len(toks[1])])
+
+
+def test_unit_duration(tiny_pair):
+    _, params, cfg = tiny_pair
+    from slamkit_tpu.feature_extractor.hubert_feature_extractor import \
+        HubertFeatureExtractor
+
+    fe = HubertFeatureExtractor.__new__(HubertFeatureExtractor)
+    fe.config = cfg
+    assert fe.get_unit_duration() == pytest.approx(5 * 2 * 2 / 16000)
+    assert fe.sample_rate == 16000
