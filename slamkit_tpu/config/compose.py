@@ -307,6 +307,13 @@ def main(config_name: str, config_path: str = "../config", version_base: str | N
         def wrapper(overrides: list[str] | None = None):
             if overrides is None:
                 overrides = sys.argv[1:]
+            # honor an explicit JAX_PLATFORMS even when a site customization
+            # (e.g. the axon TPU shim) re-forces another platform at startup
+            requested = os.environ.get("JAX_PLATFORMS")
+            if requested and requested != "axon":
+                import jax
+
+                jax.config.update("jax_platforms", requested)
             fn_dir = os.path.dirname(os.path.abspath(sys.modules[fn.__module__].__file__))
             config_dir = os.path.normpath(os.path.join(fn_dir, config_path))
             cfg = compose(config_dir, config_name, overrides)

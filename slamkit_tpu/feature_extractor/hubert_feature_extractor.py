@@ -42,6 +42,19 @@ logger = logging.getLogger(__name__)
 # throughput when bit-exactness doesn't matter.
 DEFAULT_BUCKET = None
 
+# Offline-first architecture facts for the checkpoints the reference's configs
+# name (config/tokeniser/feature_extractor/*.yaml). hubert-base-ls960 is the
+# HF default arch; mhubert-base-25hz (TWIST) adds one stride-2 conv so the
+# frame rate halves to 25 Hz (total stride 640 -> 0.04 s/unit).
+HUBERT_CONFIG_PRESETS = {
+    "facebook/hubert-base-ls960": {},
+    "slprl/mhubert-base-25hz": {
+        "conv_dim": (512,) * 8,
+        "conv_kernel": (10, 3, 3, 3, 3, 2, 2, 2),
+        "conv_stride": (5, 2, 2, 2, 2, 2, 2, 2),
+    },
+}
+
 
 def _cache_dir(cache_path: Optional[str]) -> str:
     if cache_path is None:
@@ -87,6 +100,8 @@ class HubertFeatureExtractor(AudioFeatureExtractor):
         if os.path.isfile(local):
             with open(local) as f:
                 return HubertConfig.from_hf_dict(json.load(f))
+        if pretrained_model in HUBERT_CONFIG_PRESETS:
+            return HubertConfig(**HUBERT_CONFIG_PRESETS[pretrained_model])
         from transformers import HubertConfig as HFConfig
 
         return HubertConfig.from_hf_dict(

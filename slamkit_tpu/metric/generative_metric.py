@@ -1,0 +1,197 @@
+"""Generative metrics: speech continuation, GenPPL (ASR perplexity), LLM judge.
+
+Counterpart of reference slamkit/metric/generative_metric.py:18-173. The
+SpeechLM generates on TPU; Whisper / the text LM / the judge are host-side
+torch components (metric_utils). Prompt cropping supports word-boundary
+snapping via alignment jsons exactly like the reference."""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from glob import glob, iglob
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.audio import audio_info, load_audio
+from ..utils.calculation_utils import calc_auto_bleu
+from .metric_utils import (get_judge, get_llm, get_llm_perplexity,
+                           get_whisper_pipeline)
+
+logger = logging.getLogger(__name__)
+
+
+def get_cut_location(alignment: List[Tuple[str, float, float]],
+                     prompt_length: float) -> float:
+    """Closest word END time to the requested prompt length
+    (reference generative_metric.py:18-26)."""
+    endtimes = np.array([word[2] for word in alignment], dtype=np.float64)
+    return float(endtimes[np.abs(endtimes - prompt_length).argmin()])
+
+
+def is_shorter(file: str, min_file_length: float) -> bool:
+    n_frames, sr = audio_info(file)
+    return n_frames < min_file_length * sr
+
+
+class PromptDataset:
+    """Cropped audio prompts (reference generative_metric.py:34-86)."""
+
+    def __init__(self, glob_path, prompt_length=None, sample_rate=16000,
+                 num_files=None, min_file_length=None, use_alignment=False,
+                 alignment_folder=None):
+        self.prompt_length = prompt_length
+        self.sample_rate = sample_rate
+        if num_files is None:
+            self.data = glob(glob_path, recursive=True)
+            if min_file_length is not None:
+                self.data = [f for f in self.data
+                             if not is_shorter(f, min_file_length)]
+        else:
+            self.data = []
+            for path in iglob(glob_path, recursive=True):
+                if len(self.data) >= num_files:
+                    break
+                if min_file_length is not None and is_shorter(path, min_file_length):
+                    continue
+                self.data.append(path)
+        self.use_alignment = use_alignment
+        self.alignment_folder = alignment_folder
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        file = self.data[idx]
+        audio = load_audio(file, self.sample_rate)
+        if self.prompt_length is not None and not self.use_alignment:
+            audio = audio[:int(self.prompt_length * self.sample_rate)]
+        elif self.prompt_length is not None and self.use_alignment:
+            with open(self.get_alignment_path(file)) as f:
+                alignment = json.load(f)["aligned_text"]
+            cut = get_cut_location(alignment, self.prompt_length)
+            audio = audio[:int(cut * self.sample_rate)]
+        return audio
+
+    def get_alignment_path(self, file: str) -> str:
+        if self.alignment_folder is None:
+            return file.replace(".wav", ".json")
+        basename = os.path.basename(file)
+        return os.path.join(self.alignment_folder,
+                            basename[:basename.find(".")] + ".json")
+
+    def batches(self, batch_size: int):
+        for start in range(0, len(self), batch_size):
+            wavs = [self[i] for i in range(start, min(start + batch_size, len(self)))]
+            lens = np.array([len(w) for w in wavs])
+            out = np.zeros((len(wavs), int(lens.max())), dtype=np.float32)
+            for i, w in enumerate(wavs):
+                out[i, :len(w)] = w
+            yield out, lens
+
+
+def generate(model, data_path: str, batch_size: int,
+             used_tokens_modality: Optional[str] = None,
+             prompt_length=None, min_file_length=None, alignment_folder=None,
+             use_alignment=False, sample_rate=16000, num_files=None,
+             num_workers: int = 8, pin_memory: bool = True, **generate_kwargs):
+    """Batched speech continuation (reference generative_metric.py:89-106)."""
+    dataset = PromptDataset(data_path, prompt_length=prompt_length,
+                            sample_rate=sample_rate, num_files=num_files,
+                            min_file_length=min_file_length,
+                            alignment_folder=alignment_folder,
+                            use_alignment=use_alignment)
+    assert len(dataset) > 0, f"no samples found for {data_path}"
+    res, prompts = [], []
+    for audio, lens in dataset.batches(batch_size):
+        res.extend(model.generate(audio, lens, used_tokens_modality,
+                                  **generate_kwargs))
+        prompts.extend([a[:l] for a, l in zip(audio, lens)])
+    return {"generate": res, "prompts": prompts}
+
+
+def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
+                   llm_name_or_path: str, used_tokens_modality=None,
+                   prompt_length=None, min_file_length=None,
+                   alignment_folder=None, use_alignment=False,
+                   auto_bleu_n: int = 2, sample_rate=16000, num_files=None,
+                   num_workers: int = 8, pin_memory: bool = True,
+                   **generate_kwargs):
+    """GenPPL: generate -> Whisper transcribe -> text-LM perplexity +
+    auto-BLEU (reference generative_metric.py:108-135)."""
+    from nltk.tokenize import NLTKWordTokenizer
+
+    nltk_word_tokenizer = NLTKWordTokenizer()
+    dataset = PromptDataset(data_path, num_files=num_files,
+                            prompt_length=prompt_length, sample_rate=sample_rate,
+                            min_file_length=min_file_length,
+                            alignment_folder=alignment_folder,
+                            use_alignment=use_alignment)
+    assert len(dataset) > 0, f"no samples found for {data_path}"
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device="cpu")
+    llm, text_lm_tokeniser = get_llm(llm_name_or_path, device="cpu")
+    nlls, gen, prompts, bleus = [], [], [], []
+    for audio, lens in dataset.batches(batch_size):
+        gen_res = model.generate(audio, lens, used_tokens_modality,
+                                 **generate_kwargs)
+        gen.extend(gen_res)
+        prompts.extend([a[:l] for a, l in zip(audio, lens)])
+        outs = whisper_pipeline([np.asarray(g, dtype=np.float32) for g in gen_res],
+                                batch_size=len(gen_res))
+        res_texts = [o["text"] if np.size(g) > 0 else ""
+                     for g, o in zip(gen_res, outs)]
+        bleus.extend([calc_auto_bleu(t, nltk_word_tokenizer, auto_bleu_n)
+                      for t in res_texts])
+        nlls.extend(np.asarray(get_llm_perplexity(llm, text_lm_tokeniser,
+                                                  res_texts, device="cpu")))
+    return {"asr_perplexity": float(np.exp(np.mean(nlls))),
+            f"auto-belu-{auto_bleu_n}": float(np.mean(bleus)),
+            "generate": gen, "prompts": prompts}
+
+
+def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
+                 llm_name_or_path: str, instruction: str,
+                 used_tokens_modality=None, prompt_length=None,
+                 min_file_length=None, alignment_folder=None,
+                 use_alignment=False, sample_rate=16000, num_files=None,
+                 num_workers: int = 8, pin_memory: bool = True,
+                 **generate_kwargs):
+    """Generate -> transcribe prompt & continuation -> judge with \\boxed{n}
+    scores (reference generative_metric.py:137-173)."""
+    dataset = PromptDataset(data_path, num_files=num_files,
+                            prompt_length=prompt_length, sample_rate=sample_rate,
+                            min_file_length=min_file_length,
+                            alignment_folder=alignment_folder,
+                            use_alignment=use_alignment)
+    assert len(dataset) > 0, f"no samples found for {data_path}"
+    assert instruction is not None, "llm_as_judge requires instruction"
+    assert "[prompt_audio_transcription]" in instruction
+    assert "[generated_audio_transcription]" in instruction
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device="cpu")
+    judge = get_judge(llm_name_or_path, device="cpu", batch_size=batch_size)
+    gen, prompts, texts, prompt_texts, gen_texts = [], [], [], [], []
+    for audio, lens in dataset.batches(batch_size):
+        gen_res = model.generate(audio, lens, used_tokens_modality,
+                                 remove_prompt=True, **generate_kwargs)
+        gen.extend(gen_res)
+        prompts.extend([a[:l] for a, l in zip(audio, lens)])
+        p_trans = whisper_pipeline([np.asarray(a[:l], dtype=np.float32)
+                                    for a, l in zip(audio, lens)],
+                                   batch_size=len(audio))
+        g_trans = whisper_pipeline([np.asarray(g, dtype=np.float32)
+                                    for g in gen_res], batch_size=len(gen_res))
+        p_texts = [t["text"] if l > 0 else "" for l, t in zip(lens, p_trans)]
+        g_texts = [t["text"] if np.size(g) > 0 else ""
+                   for g, t in zip(gen_res, g_trans)]
+        texts.extend(instruction
+                     .replace("[prompt_audio_transcription]", p)
+                     .replace("[generated_audio_transcription]", g)
+                     for p, g in zip(p_texts, g_texts))
+        prompt_texts.extend(p_texts)
+        gen_texts.extend(g_texts)
+    res = [r for r in judge(texts) if r is not None]
+    text_res = list(zip(prompt_texts, gen_texts))
+    logger.info("got response for %d out of %d", len(res), len(dataset))
+    return {"llm_as_judge": float(np.mean(res)) if res else float("nan"),
+            "generate": gen, "prompts": prompts, "audio_transcription": text_res}

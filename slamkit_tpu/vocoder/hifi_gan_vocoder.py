@@ -1,0 +1,44 @@
+"""HiFiGANVocoder: named-checkpoint wrapper over the JAX CodeHiFiGAN
+(reference slamkit/vocoder/hifi_gan_vocoder.py:5-22 + hifigan/vocoder.py:22-140).
+Duration prediction is enabled automatically when the checkpoint carries a
+VariancePredictor; negative codes are dropped before synthesis."""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from .audio_vocoder import AudioVocoder
+from .checkpoint_manager import CHECKPOINT_MANAGER
+from .hifigan_jax import code_generator_forward, load_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+class HiFiGANVocoder(AudioVocoder):
+    def __init__(self, dense_model_name: str, quantizer_model_name: str,
+                 vocab_size: int, vocoder_suffix: str = None,
+                 speaker_meta=None, style_meta=None):
+        name = f"{dense_model_name}-{quantizer_model_name}-{vocab_size}-hifigan"
+        if vocoder_suffix is not None:
+            name += "-" + vocoder_suffix
+        model_path = CHECKPOINT_MANAGER.get_by_name(name)
+        config_path = CHECKPOINT_MANAGER.get_by_name(f"{name}-config")
+        self.params, self.cfg = load_checkpoint(str(model_path), str(config_path))
+        self.has_dur_predictor = "dur_predictor" in self.params
+        logger.info("CodeHiFiGAN model loaded (%s)", name)
+
+    @property
+    def output_sample_rate(self) -> int:
+        return self.cfg.get("sampling_rate", 16_000)
+
+    def vocode(self, tokens, speaker_id: int = 0, style_id: int = 0,
+               **kwargs) -> np.ndarray:
+        code = np.asarray(tokens).ravel()
+        code = code[code >= 0]  # drop invalid codes (reference vocoder.py:79-81)
+        if code.size == 0:
+            return np.asarray([], dtype=np.float32)
+        return code_generator_forward(
+            self.params, self.cfg, code[None],
+            dur_prediction=self.has_dur_predictor,
+            speaker_id=speaker_id, style_id=style_id)

@@ -1,0 +1,204 @@
+"""JAX CodeHiFiGAN: unit-conditioned neural vocoder.
+
+Counterpart of the reference's vendored textlesslib generator
+(reference slamkit/vocoder/hifigan/generator.py:24-238, resblock.py:27-118):
+unit embedding -> optional VariancePredictor duration re-expansion
+(repeat_interleave of round(exp(logdur)-1), generator.py:150-160) -> conv_pre
+-> N x (ConvTranspose upsample + multi-kernel ResBlocks averaged) -> conv_post
+-> tanh. Weight norm is folded at conversion (inference only). Convs run
+through lax.conv_general_dilated in torch's NCH/OIK layout so torch
+checkpoints map verbatim; transpose convs are fractionally-strided convs
+(lhs_dilation) with flipped kernels.
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x, slope=LRELU_SLOPE):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def _conv1d(x, w, b, stride=1, padding=0, dilation=1):
+    """x [B, C, T]; w [O, I, K] (torch layout)."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"))
+    if b is not None:
+        out = out + b[None, :, None]
+    return out
+
+
+def _conv_transpose1d(x, w, b, stride, padding):
+    """torch ConvTranspose1d(stride=u, padding=p) == fractionally-strided conv:
+    lhs_dilation=u, kernel flipped along K and [in, out, k] -> [out, in, k]."""
+    k = w.shape[-1]
+    w_t = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [O, I, K]
+    pad = k - 1 - padding
+    out = jax.lax.conv_general_dilated(
+        x, w_t, window_strides=(1,), padding=[(pad, pad)],
+        lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"))
+    if b is not None:
+        out = out + b[None, :, None]
+    return out
+
+
+def _get_padding(kernel_size, dilation=1):
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _resblock(x, rp, kernel_size, dilations):
+    for i, d in enumerate(dilations):
+        xt = _lrelu(x)
+        xt = _conv1d(xt, rp["convs1"][i]["w"], rp["convs1"][i]["b"],
+                     padding=_get_padding(kernel_size, d), dilation=d)
+        xt = _lrelu(xt)
+        xt = _conv1d(xt, rp["convs2"][i]["w"], rp["convs2"][i]["b"],
+                     padding=_get_padding(kernel_size, 1))
+        x = xt + x
+    return x
+
+
+def generator_forward(params: dict, cfg: dict, x: jax.Array) -> jax.Array:
+    """x: [B, model_in_dim, T] -> waveform [B, 1, T * prod(upsample_rates)]."""
+    num_kernels = len(cfg["resblock_kernel_sizes"])
+    x = _conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
+    for i, (u, k) in enumerate(zip(cfg["upsample_rates"],
+                                   cfg["upsample_kernel_sizes"])):
+        x = _lrelu(x)
+        x = _conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"],
+                              stride=u, padding=(k - u) // 2)
+        xs = None
+        for j in range(num_kernels):
+            rb = _resblock(x, params["resblocks"][i * num_kernels + j],
+                           cfg["resblock_kernel_sizes"][j],
+                           cfg["resblock_dilation_sizes"][j])
+            xs = rb if xs is None else xs + rb
+        x = xs / num_kernels
+    x = _lrelu(x, 0.01)  # torch F.leaky_relu default slope at the output conv
+    x = _conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
+    return jnp.tanh(x)
+
+
+def variance_predictor(params: dict, cfg: dict, x: jax.Array,
+                       eps: float = 1e-5) -> jax.Array:
+    """x: [B, T, C] -> log durations [B, T]
+    (reference generator.py:200-238; dropout inactive at inference)."""
+    kernel = cfg["var_pred_kernel_size"]
+    h = _conv1d(x.transpose(0, 2, 1), params["conv1"]["w"], params["conv1"]["b"],
+                padding=(kernel - 1) // 2).transpose(0, 2, 1)
+    h = jax.nn.relu(h)
+    mean = h.mean(-1, keepdims=True)
+    var = h.var(-1, keepdims=True)
+    h = (h - mean) * jax.lax.rsqrt(var + eps) * params["ln1"]["scale"] + params["ln1"]["bias"]
+    h = _conv1d(h.transpose(0, 2, 1), params["conv2"]["w"], params["conv2"]["b"],
+                padding=1).transpose(0, 2, 1)
+    h = jax.nn.relu(h)
+    mean = h.mean(-1, keepdims=True)
+    var = h.var(-1, keepdims=True)
+    h = (h - mean) * jax.lax.rsqrt(var + eps) * params["ln2"]["scale"] + params["ln2"]["bias"]
+    return (h @ params["proj"]["w"].T + params["proj"]["b"])[..., 0]
+
+
+def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
+                           dur_prediction: bool = False,
+                           speaker_id: int = 0, style_id: int = 0) -> np.ndarray:
+    """Unit ids [T] or [1, T] -> waveform [T_wav]
+    (reference generator.py:150-197 + vocoder.py:56-88 semantics: negative
+    codes dropped by the caller)."""
+    code = jnp.atleast_2d(jnp.asarray(code))
+    x = params["dict"][code]  # [1, T, C]
+
+    if dur_prediction and "dur_predictor" in params:
+        log_dur = variance_predictor(params["dur_predictor"],
+                                     cfg["dur_predictor_params"], x)
+        dur = np.maximum(np.round(np.exp(np.asarray(log_dur)) - 1).astype(int), 1)
+        # dynamic re-expansion happens host-side (inference, single sample)
+        x = jnp.asarray(np.repeat(np.asarray(x)[0], dur[0], axis=0))[None]
+
+    feats = [x.transpose(0, 2, 1)]
+    if cfg.get("multispkr", None):
+        spk = params["spkr"][jnp.asarray([[speaker_id]])]  # [1,1,C]
+        feats.append(jnp.broadcast_to(spk.transpose(0, 2, 1),
+                                      (1, spk.shape[-1], feats[0].shape[-1])))
+    if cfg.get("multistyle", None):
+        st = params["style"][jnp.asarray([[style_id]])]
+        feats.append(jnp.broadcast_to(st.transpose(0, 2, 1),
+                                      (1, st.shape[-1], feats[0].shape[-1])))
+    h = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+    wav = generator_forward(params, cfg, h)
+    return np.asarray(wav).squeeze()
+
+
+# --------------------------------------------------------------------------- #
+# weight conversion (torch checkpoint -> params pytree)
+# --------------------------------------------------------------------------- #
+def _fold_weight_norm(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """weight_g/weight_v (norm over dims != 0) -> folded weight + bias."""
+    if f"{prefix}.weight_g" in sd:
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float32)
+        v = np.asarray(sd[f"{prefix}.weight_v"], np.float32)
+        axes = tuple(range(1, v.ndim))
+        w = g * v / np.maximum(np.sqrt((v ** 2).sum(axis=axes, keepdims=True)), 1e-12)
+    else:
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = sd.get(f"{prefix}.bias")
+    return {"w": w, "b": np.asarray(b, np.float32) if b is not None else None}
+
+
+def convert_torch_generator(sd: Dict[str, np.ndarray], cfg: dict) -> dict:
+    """Map the textless checkpoint's `generator` state dict (numpy-valued)
+    to the JAX params pytree."""
+    num_kernels = len(cfg["resblock_kernel_sizes"])
+    num_ups = len(cfg["upsample_rates"])
+    params = {
+        "conv_pre": _fold_weight_norm(sd, "conv_pre"),
+        "conv_post": _fold_weight_norm(sd, "conv_post"),
+        "ups": [_fold_weight_norm(sd, f"ups.{i}") for i in range(num_ups)],
+        "resblocks": [],
+        "dict": np.asarray(sd["dict.weight"], np.float32),
+    }
+    for r in range(num_ups * num_kernels):
+        n_d = len(cfg["resblock_dilation_sizes"][r % num_kernels])
+        params["resblocks"].append({
+            "convs1": [_fold_weight_norm(sd, f"resblocks.{r}.convs1.{i}")
+                       for i in range(n_d)],
+            "convs2": [_fold_weight_norm(sd, f"resblocks.{r}.convs2.{i}")
+                       for i in range(n_d)],
+        })
+    if "spkr.weight" in sd:
+        params["spkr"] = np.asarray(sd["spkr.weight"], np.float32)
+    if "style.weight" in sd:
+        params["style"] = np.asarray(sd["style.weight"], np.float32)
+    if any(k.startswith("dur_predictor") for k in sd):
+        params["dur_predictor"] = {
+            "conv1": {"w": np.asarray(sd["dur_predictor.conv1.0.weight"], np.float32),
+                      "b": np.asarray(sd["dur_predictor.conv1.0.bias"], np.float32)},
+            "ln1": {"scale": np.asarray(sd["dur_predictor.ln1.weight"], np.float32),
+                    "bias": np.asarray(sd["dur_predictor.ln1.bias"], np.float32)},
+            "conv2": {"w": np.asarray(sd["dur_predictor.conv2.0.weight"], np.float32),
+                      "b": np.asarray(sd["dur_predictor.conv2.0.bias"], np.float32)},
+            "ln2": {"scale": np.asarray(sd["dur_predictor.ln2.weight"], np.float32),
+                    "bias": np.asarray(sd["dur_predictor.ln2.bias"], np.float32)},
+            "proj": {"w": np.asarray(sd["dur_predictor.proj.weight"], np.float32),
+                     "b": np.asarray(sd["dur_predictor.proj.bias"], np.float32)},
+        }
+    return params
+
+
+def load_checkpoint(model_path: str, config_path: str):
+    """Load a textless CodeHiFiGAN torch checkpoint -> (params, cfg)."""
+    import torch
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    state = torch.load(model_path, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in state["generator"].items()}
+    return convert_torch_generator(sd, cfg), cfg

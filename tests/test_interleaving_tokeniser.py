@@ -1,0 +1,168 @@
+"""InterleavingTokeniser tests: vocab extension, span selection (seeded),
+word->unit alignment bisection, ignore-token partition, decode round-trip
+(SURVEY.md §4). Uses a tiny locally-built HF tokenizer (offline)."""
+import json
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+from slamkit_tpu.tokeniser.interleaving_tokeniser import (
+    SPEECH_TOKEN, TEXT_TOKEN, ContentType, GenerationInput,
+    InterleavingTokeniser, select_spans_poisson)
+
+N_UNITS = 20
+
+
+@pytest.fixture(scope="module")
+def text_tok_dir(tmp_path_factory):
+    """Build a tiny whitespace-level HF tokenizer dir (no network)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    d = tmp_path_factory.mktemp("tok")
+    tok = Tokenizer(models.WordLevel(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.WordLevelTrainer(
+        special_tokens=["<pad>", "<s>", "</s>", "<unk>"])
+    corpus = d / "corpus.txt"
+    corpus.write_text("the cat sat on a mat and a dog ran far away now\n" * 4)
+    tok.train([str(corpus)], trainer)
+    tok.save(str(d / "tokenizer.json"))
+    from transformers import PreTrainedTokenizerFast
+
+    fast = PreTrainedTokenizerFast(
+        tokenizer_file=str(d / "tokenizer.json"),
+        pad_token="<pad>", bos_token="<s>", eos_token="</s>", unk_token="<unk>")
+    fast.save_pretrained(str(d / "hf"))
+    return str(d / "hf")
+
+
+class FakeFE:
+    """Deterministic stand-in feature extractor: 5 units/sec (0.2 s/unit)."""
+
+    sample_rate = 16000
+
+    def extract(self, wav, lens=None):
+        wav = np.atleast_2d(np.asarray(wav))
+        out = []
+        for i in range(wav.shape[0]):
+            n = int((lens[i] if lens is not None else wav.shape[1]) / 3200)
+            out.append(np.arange(n) % N_UNITS)
+        return out
+
+    def get_unit_duration(self):
+        return 0.2
+
+
+@pytest.fixture()
+def tok(text_tok_dir):
+    return InterleavingTokeniser(FakeFE(), num_units=N_UNITS,
+                                 text_tokeniser_path=text_tok_dir,
+                                 interleave_method="random")
+
+
+def test_vocab_extension(tok):
+    base = len(tok.text_tokeniser) - N_UNITS - 2
+    assert tok.text_tokeniser.convert_tokens_to_ids("<Un0>") == base
+    assert tok.text_tokeniser.convert_tokens_to_ids(SPEECH_TOKEN) == base + N_UNITS
+    assert tok.text_tokeniser.convert_tokens_to_ids(TEXT_TOKEN) == base + N_UNITS + 1
+
+
+def test_select_spans_poisson_seeded():
+    np.random.seed(0)
+    m1 = select_spans_poisson(50, 3, 0.5)
+    np.random.seed(0)
+    m2 = select_spans_poisson(50, 3, 0.5)
+    assert np.array_equal(m1, m2)
+    assert m1.sum() >= 25  # at least eta selected
+
+
+def test_stringify_test_mode(tok):
+    reps = [{"units": [1, 2, 3], "duration": [1, 1, 1]}]
+    assert tok.stringify_representation(reps, mode="test") == ["<Un1><Un2><Un3>"]
+
+
+def test_interleaved_alignment_bisection(tok):
+    # 10 units at 0.2s each -> unit_time = [0.2, 0.4, ..., 2.0]
+    rep = {
+        "units": list(range(10)),
+        "duration": [1] * 10,
+        "aligned_text": [("the", 0.0, 0.6), ("cat", 0.6, 1.2), ("sat", 1.2, 2.0)],
+    }
+    tok.interleave_method = "poisson"
+    tok.interleave_span = 100  # one giant span -> all speech
+    tok.interleave_prob = 1.0
+    np.random.seed(0)
+    s = tok.stringify_representation([rep], mode="train")[0]
+    assert s.startswith(SPEECH_TOKEN)
+    # all 10 units appear (span covers 0.0-2.0)
+    assert all(f"<Un{u}>" in s for u in range(9))
+
+    # all-text case
+    tok.interleave_prob = 0.0
+    tok.interleave_span = 0
+    tok.interleave_method = "span"
+    np.random.seed(1)
+    s2 = tok.stringify_representation([rep], mode="train")[0]
+    # span method with prob 0 -> all text
+    assert s2 == TEXT_TOKEN + "thecatsat"
+
+
+def test_interleaved_mixed_modality(tok):
+    rep = {
+        "units": list(range(10)),
+        "duration": [1] * 10,
+        "aligned_text": [("the", 0.0, 0.6), ("cat", 0.6, 1.2), ("sat", 1.2, 2.0)],
+    }
+    # force text, speech, text by patching the modality assigner
+    tok._assign_interleaved_modality = lambda at: [
+        ("the", 0.0, 0.6, "text"), ("cat", 0.6, 1.2, "audio"), ("sat", 1.2, 2.0, "text")]
+    s = tok._interleave_units(rep)
+    # speech span 0.6-1.2: bisect_left(unit_time, 0.6)=2; bisect_right(., 1.2)=5
+    # because cumsum float gives unit_time[5]=1.2000000000000002 (> 1.2) —
+    # identical to the reference's float behavior
+    assert s == TEXT_TOKEN + "the" + SPEECH_TOKEN + "<Un2><Un3><Un4>" + TEXT_TOKEN + "sat"
+
+
+def test_ignore_tokens_partition(tok):
+    n_text = len(tok.text_tokeniser) - N_UNITS - 2
+    speech_ignore = tok.get_ignore_tokens("SPEECH")
+    text_ignore = tok.get_ignore_tokens("TEXT")
+    assert tok.get_ignore_tokens(None) is None
+    # SPEECH mode ignores text ids (minus specials) + modality tokens
+    assert all(t < n_text or t >= n_text + N_UNITS for t in speech_ignore)
+    assert tok.text_tokeniser.bos_token_id not in speech_ignore
+    assert tok.text_tokeniser.eos_token_id not in speech_ignore
+    # TEXT mode ignores exactly the unit ids
+    unit_ids = set(range(n_text, n_text + N_UNITS))
+    assert set(text_ignore) == unit_ids
+
+
+def test_decode_sample_speech_and_text(tok):
+    ids = tok.text_tokeniser("cat <Un3><Un4> sat")["input_ids"]
+    units = tok.decode_sample(np.asarray(ids), output_modality="SPEECH")
+    assert units.tolist() == [3, 4]
+    text = tok.decode_sample(np.asarray(ids), output_modality="TEXT")
+    assert "cat" in text and "sat" in text and "<Un3>" not in text
+
+
+def test_tokenise_wav_batch_and_prompt(tok):
+    wav = np.zeros((2, 32000), dtype=np.float32)  # 2s -> 10 units each
+    out = tok.tokenise(wav, np.array([32000, 16000]))
+    assert np.asarray(out["input_ids"]).shape[0] == 2
+    prompt = tok.build_prompt(wav, np.array([32000, 16000]),
+                              output_modality="SPEECH")
+    last_col = np.asarray(prompt["input_ids"])[:, -1]
+    sp = tok.text_tokeniser.convert_tokens_to_ids(SPEECH_TOKEN)
+    assert (last_col == sp).any()
+
+
+def test_generation_input_interleaved(tok):
+    inp = [GenerationInput("the cat", ContentType.TEXT),
+           GenerationInput(np.zeros(16000, dtype=np.float32), ContentType.SPEECH)]
+    s = tok._stringify_interleaved(inp)
+    assert s.startswith(TEXT_TOKEN + "the cat" + SPEECH_TOKEN)
+    # tuples also accepted
+    s2 = tok._stringify_interleaved([("text", "hi"), ("speech", np.zeros(3200, np.float32))])
+    assert s2.startswith(TEXT_TOKEN + "hi" + SPEECH_TOKEN)
