@@ -24,7 +24,7 @@ def main():
     batch_size, context_len = 8, 1024
     cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
                        twist_init=False, rope_theta=10000.0,
-                       torch_dtype="bfloat16", remat=False)
+                       torch_dtype="bfloat16", remat=True)
     model = UnitLM(cfg, seed=0)
 
     rng = np.random.default_rng(0)
@@ -42,28 +42,30 @@ def main():
 
     import optax
 
+    params = jax.device_put(model.params)
     tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adamw(1e-3))
-    opt_state = tx.init(model.params)
+    opt_state = jax.device_put(tx.init(params))
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(model.loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    params = model.params
     # compile + warmup
     params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # device->host sync (block_until_ready is a no-op on the tunnel)
     params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     tokens_per_sec = n_steps * batch_size * context_len / dt

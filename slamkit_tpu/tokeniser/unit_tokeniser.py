@@ -114,10 +114,15 @@ class UnitTokeniser(AudioTokeniser):
         return [self.bos_token_id] + ids + [self.eos_token_id]
 
     def string_tokenise(self, audio_repr: Union[str, List[str]], padding: bool = False,
-                        **kwargs) -> dict:
+                        add_special_tokens: bool = True, **kwargs) -> dict:
         if isinstance(audio_repr, str):
             audio_repr = [audio_repr]
-        seqs = [self._encode_one(s) for s in audio_repr]
+        if add_special_tokens:
+            seqs = [self._encode_one(s) for s in audio_repr]
+        else:  # bare unit ids, no <S> wrap (the DPO tokenize_row contract,
+            # reference slam_dpo_trainer.py:40-43)
+            seqs = [unit_codec.tokenise_unit_string(s, self.offset)
+                    for s in audio_repr]
         if padding:
             return pad_token_batch(seqs, self.pad_token_id, self.text_tokeniser.padding_side)
         return {"input_ids": seqs, "attention_mask": [[1] * len(s) for s in seqs]}

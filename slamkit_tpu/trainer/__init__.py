@@ -14,3 +14,7 @@ __all__ = [
     "make_schedule",
     "resolve_warmup_steps",
 ]
+
+from .slam_dpo_trainer import SLAMDPOTrainer  # noqa: E402
+
+__all__.append("SLAMDPOTrainer")

@@ -1,0 +1,255 @@
+"""SLAMDPOTrainer — Direct Preference Optimization, TPU-native.
+
+The reference delegates the DPO algorithm to trl.DPOTrainer and only
+overrides tokenize_row (reference slamkit/trainer/slam_dpo_trainer.py:4-64).
+Here the whole algorithm is implemented natively (trl is torch-only):
+
+  loss = -log σ(β [(logπ(chosen) - logπ(rejected))
+                  - (logref(chosen) - logref(rejected))])
+
+with the frozen reference model = the initial policy params (trl's implicit
+ref model). tokenize_row matches the reference byte-for-byte: prompt =
+[bos] + ids (no specials), completions get a trailing eos, prompt truncates
+from the LEFT, completions from the right (slam_dpo_trainer.py:40-55).
+
+The jitted step runs both policy and reference forwards over a mesh-sharded
+[2B, T] batch (chosen rows stacked over rejected rows) and reports the
+standard DPO diagnostics (rewards/accuracies/margins).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.transformer import forward
+from ..parallel.mesh import make_mesh, param_shardings, replicated
+from ..utils.calculation_utils import token_nll
+from .callbacks import TrainerControl, TrainerState
+from .optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def tokenize_row(features: dict, processing_class, max_prompt_length: Optional[int],
+                 max_completion_length: Optional[int], add_special_tokens: bool):
+    """Reference SLAMDPOTrainer.tokenize_row (slam_dpo_trainer.py:6-64)."""
+    tokenizer = processing_class
+
+    def enc(x):
+        ids = tokenizer(x, add_special_tokens=False)["input_ids"]
+        return list(ids[0]) if ids and isinstance(ids[0], (list, np.ndarray)) else list(ids)
+
+    prompt_input_ids = [tokenizer.bos_token_id] + enc(features["prompt"])
+    chosen_input_ids = enc(features["chosen"])
+    rejected_input_ids = enc(features["rejected"])
+    if add_special_tokens and tokenizer.eos_token_id is not None:
+        prompt_input_ids = prompt_input_ids + [tokenizer.eos_token_id]
+    chosen_input_ids = chosen_input_ids + [tokenizer.eos_token_id]
+    rejected_input_ids = rejected_input_ids + [tokenizer.eos_token_id]
+    if max_prompt_length is not None:
+        prompt_input_ids = prompt_input_ids[-max_prompt_length:]
+    if max_completion_length is not None:
+        chosen_input_ids = chosen_input_ids[:max_completion_length]
+        rejected_input_ids = rejected_input_ids[:max_completion_length]
+    return {"prompt_input_ids": prompt_input_ids,
+            "chosen_input_ids": chosen_input_ids,
+            "rejected_input_ids": rejected_input_ids}
+
+
+class SLAMDPOTrainer:
+    def __init__(self, model, tokenizer, args, train_dataset: List[dict],
+                 eval_dataset: Optional[List[dict]] = None, callbacks=None,
+                 mesh=None, log_fn=None):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.args = args
+        self.callbacks = callbacks or []
+        self.log_fn = log_fn
+        self.mesh = mesh or make_mesh(args.get("mesh_shape", None))
+        self.beta = float(args.get("beta", 0.1))
+        self.state = TrainerState()
+        self.control = TrainerControl()
+
+        tok_kwargs = dict(
+            processing_class=tokenizer.text_tokeniser
+            if hasattr(tokenizer.text_tokeniser, "bos_token_id") else tokenizer,
+            max_prompt_length=args.get("max_prompt_length", None),
+            max_completion_length=args.get("max_completion_length", None),
+            add_special_tokens=False)
+        # UnitTokeniser case: the tokeniser itself carries bos/eos + __call__
+        if hasattr(tokenizer, "bos_token_id"):
+            tok_kwargs["processing_class"] = tokenizer
+        self.train_rows = [tokenize_row(r, **tok_kwargs) for r in train_dataset]
+        self.eval_rows = ([tokenize_row(r, **tok_kwargs) for r in eval_dataset]
+                          if eval_dataset else None)
+        self.max_len = self._max_len(self.train_rows + (self.eval_rows or []))
+
+        bsz = int(args.per_device_train_batch_size) * self.mesh.shape["data"]
+        self.batch_size = bsz
+        epochs = float(args.get("num_train_epochs", 1))
+        steps_per_epoch = max(len(self.train_rows) // bsz, 1)
+        max_steps = int(args.get("max_steps", -1) or -1)
+        self.total_steps = (max_steps if max_steps > 0
+                            else max(int(epochs * steps_per_epoch), 1))
+        self.steps_per_epoch = steps_per_epoch
+        self.tx, self.schedule = make_optimizer(args, self.total_steps)
+        self._build_step()
+
+    @staticmethod
+    def _max_len(rows):
+        return max(len(r["prompt_input_ids"]) +
+                   max(len(r["chosen_input_ids"]), len(r["rejected_input_ids"]))
+                   for r in rows)
+
+    def _collate(self, rows: List[dict]) -> Dict[str, np.ndarray]:
+        """[2B, T]: chosen rows then rejected rows; completion_mask marks the
+        answer tokens whose logprob enters the DPO objective."""
+        pad = self.model.config.pad_token_id
+        B, T = len(rows), self.max_len
+        ids = np.full((2 * B, T), pad, np.int32)
+        comp = np.zeros((2 * B, T), np.float32)
+        seg = np.full((2 * B, T), -1, np.int32)
+        for i, r in enumerate(rows):
+            p = r["prompt_input_ids"]
+            for j, c in enumerate((r["chosen_input_ids"], r["rejected_input_ids"])):
+                row = (p + c)[:T]
+                ids[i + j * B, :len(row)] = row
+                seg[i + j * B, :len(row)] = 0
+                comp[i + j * B, len(p):len(row)] = 1.0
+        return {"input_ids": ids, "completion_mask": comp, "segment_ids": seg}
+
+    def _build_step(self):
+        model, tx, beta = self.model, self.tx, self.beta
+        decoder = model.decoder
+
+        def seq_logp(params, batch):
+            logits, _ = forward(params, decoder, batch["input_ids"],
+                                segment_ids=batch["segment_ids"])
+            targets = batch["input_ids"][:, 1:]
+            lp = -token_nll(logits[:, :-1], targets)
+            return (lp * batch["completion_mask"][:, 1:]).sum(-1)
+
+        def dpo_loss(params, ref_params, batch):
+            lp = seq_logp(params, batch)
+            ref_lp = jax.lax.stop_gradient(seq_logp(ref_params, batch))
+            B = lp.shape[0] // 2
+            pi_diff = lp[:B] - lp[B:]
+            ref_diff = ref_lp[:B] - ref_lp[B:]
+            logits = beta * (pi_diff - ref_diff)
+            loss = -jax.nn.log_sigmoid(logits).mean()
+            metrics = {
+                "rewards/chosen": (beta * (lp[:B] - ref_lp[:B])).mean(),
+                "rewards/rejected": (beta * (lp[B:] - ref_lp[B:])).mean(),
+                "rewards/accuracies": (logits > 0).mean(),
+                "rewards/margins": logits.mean(),
+            }
+            return loss, metrics
+
+        def step_fn(state, ref_params, batch):
+            import optax
+
+            (loss, metrics), grads = jax.value_and_grad(dpo_loss, has_aux=True)(
+                state["params"], ref_params, batch)
+            updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            return ({"params": new_params, "opt_state": new_opt},
+                    {"loss": loss, **metrics})
+
+        mesh = self.mesh
+        self._param_sh = param_shardings(self.model.params, mesh,
+                                         fsdp=bool(self.args.get("fsdp", False)))
+        rep = replicated(mesh)
+        opt_state = self.tx.init(self.model.params)
+        shape_map = {}
+        for p, s in zip(jax.tree_util.tree_leaves(self.model.params),
+                        jax.tree_util.tree_leaves(self._param_sh)):
+            shape_map[p.shape] = s
+        opt_sh = jax.tree_util.tree_map(
+            lambda x: shape_map.get(getattr(x, "shape", None), rep), opt_state)
+        self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
+        batch_sh = {k: NamedSharding(mesh, P("data"))
+                    for k in ("input_ids", "completion_mask", "segment_ids")}
+        self._batch_sh = batch_sh
+        self._step = jax.jit(step_fn, donate_argnums=(0,),
+                             in_shardings=(self._state_sh, self._param_sh, batch_sh),
+                             out_shardings=(self._state_sh, None))
+        self._eval_loss = jax.jit(
+            dpo_loss, in_shardings=(self._param_sh, self._param_sh, batch_sh))
+        self.train_state = jax.device_put(
+            {"params": self.model.params, "opt_state": opt_state}, self._state_sh)
+        # the frozen implicit reference model = initial policy (trl semantics);
+        # must be a COPY — the policy buffers are donated into the step
+        self.ref_params = jax.device_put(
+            jax.tree_util.tree_map(np.array, jax.device_get(self.model.params)),
+            self._param_sh)
+
+    def _log(self, record: dict):
+        self.state.log_history.append(record)
+        logger.info("%s", record)
+        if self.log_fn:
+            self.log_fn(record)
+
+    def evaluate(self):
+        if not self.eval_rows:
+            return {}
+        losses, accs = [], []
+        rows = self.eval_rows
+        if len(rows) < self.batch_size:  # wrap to fill the static batch shape
+            rows = (rows * (-(-self.batch_size // len(rows))))[:self.batch_size]
+        for start in range(0, len(rows) - self.batch_size + 1, self.batch_size):
+            batch = self._collate(rows[start:start + self.batch_size])
+            batch = jax.device_put(batch, self._batch_sh)
+            loss, metrics = self._eval_loss(self.train_state["params"],
+                                            self.ref_params, batch)
+            losses.append(float(loss))
+            accs.append(float(metrics["rewards/accuracies"]))
+        out = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
+               "eval_rewards/accuracies": float(np.mean(accs)) if accs else float("nan")}
+        self._log({**out, "step": self.state.global_step})
+        return out
+
+    def train(self, resume_from_checkpoint=None):
+        args, state, control = self.args, self.state, self.control
+        for cb in self.callbacks:
+            cb.on_train_begin(args, state, control)
+        logging_steps = int(args.get("logging_steps", 50) or 50)
+        rng = np.random.default_rng(int(args.get("seed", 0)))
+        epoch = 0
+        while state.global_step < self.total_steps and not control.should_training_stop:
+            order = rng.permutation(len(self.train_rows))
+            if len(order) < self.batch_size:
+                # wrap around so small corpora still fill the static batch shape
+                reps = -(-self.batch_size // len(order))
+                order = np.tile(order, reps)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                rows = [self.train_rows[i] for i in order[start:start + self.batch_size]]
+                batch = jax.device_put(self._collate(rows), self._batch_sh)
+                self.train_state, metrics = self._step(self.train_state,
+                                                       self.ref_params, batch)
+                state.global_step += 1
+                state.epoch = epoch + (start + self.batch_size) / max(len(order), 1)
+                if state.global_step % logging_steps == 0:
+                    self._log({k: float(v) for k, v in metrics.items()} |
+                              {"learning_rate": float(self.schedule(state.global_step)),
+                               "step": state.global_step})
+                for cb in self.callbacks:
+                    cb.on_step_end(args, state, control)
+                if control.should_training_stop or state.global_step >= self.total_steps:
+                    break
+            epoch += 1
+        self.evaluate()
+        self.model.params = jax.device_get(self.train_state["params"])
+        import os
+
+        out_dir = os.path.join(args.output_dir, f"checkpoint-{state.global_step}")
+        self.model.save_pretrained(out_dir)
+        logger.info("Saved DPO checkpoint %s", out_dir)
+        for cb in self.callbacks:
+            cb.on_train_end(args, state, control)
+        return state

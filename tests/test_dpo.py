@@ -1,0 +1,93 @@
+"""DPO tests: tokenize_row byte semantics, repetition filter, a 10-step DPO
+run that must raise the chosen-vs-rejected margin (SURVEY.md §4)."""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from slamkit_tpu.config import compose
+from slamkit_tpu.data.preference import (get_repetition_filter_fn,
+                                         init_preference_optimization_dataset)
+from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+from slamkit_tpu.tokeniser.unit_tokeniser import UnitTokeniser
+from slamkit_tpu.trainer.slam_dpo_trainer import SLAMDPOTrainer, tokenize_row
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def unit_str(ids):
+    return "".join(f"<Un{i}>" for i in ids)
+
+
+def test_tokenize_row_semantics():
+    tok = UnitTokeniser(load_fe=False, num_units=500)
+    features = {"prompt": unit_str([1, 2, 3]), "chosen": unit_str([4, 5]),
+                "rejected": unit_str([6])}
+    row = tokenize_row(features, tok, max_prompt_length=None,
+                       max_completion_length=None, add_special_tokens=False)
+    off = tok.offset
+    # prompt = [bos] + ids (no eos); completions get a trailing eos
+    assert row["prompt_input_ids"] == [tok.bos_token_id, 1 + off, 2 + off, 3 + off]
+    assert row["chosen_input_ids"] == [4 + off, 5 + off, tok.eos_token_id]
+    assert row["rejected_input_ids"] == [6 + off, tok.eos_token_id]
+    # prompt truncates from the LEFT, completions from the right
+    row2 = tokenize_row(features, tok, max_prompt_length=2,
+                        max_completion_length=1, add_special_tokens=False)
+    assert row2["prompt_input_ids"] == [2 + off, 3 + off]
+    assert row2["chosen_input_ids"] == [4 + off]
+
+
+def test_repetition_filter():
+    fn = get_repetition_filter_fn(2, 0.3)
+    assert not fn({"prompt_text": "a b a b", "chosen_text": "a b a b a b"})
+    assert fn({"prompt_text": "one two three", "chosen_text": "four five six"})
+
+
+def test_init_preference_dataset(tmp_path):
+    rows = [
+        {"prompt": {"audio_repr": unit_str([1])}, "chosen": {"audio_repr": unit_str([2])},
+         "rejected": {"audio_repr": unit_str([3])},
+         "prompt_text": "hello world now", "chosen_text": "fine day here", "extra": 1},
+        {"prompt": {"audio_repr": unit_str([1])}, "chosen": {"audio_repr": unit_str([2])},
+         "rejected": {"audio_repr": unit_str([3])},
+         "prompt_text": "a b a b", "chosen_text": "a b a b a b", "extra": 2},
+    ]
+    with open(tmp_path / "p.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+        f"data.train_path={tmp_path}/p.jsonl", f"data.val_path={tmp_path}/p.jsonl",
+    ]).data
+    ds = init_preference_optimization_dataset(cfg)
+    assert len(ds["train"]) == 1  # repetition-filtered
+    assert set(ds["train"][0]) == {"prompt", "chosen", "rejected"}
+
+
+def test_dpo_training_improves_margin(tmp_path):
+    tok = UnitTokeniser(load_fe=False, num_units=60)
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(32):
+        p = unit_str(rng.integers(0, 60, 5))
+        rows.append({"prompt": p,
+                     "chosen": unit_str([7, 8, 9, 7, 8, 9]),
+                     "rejected": unit_str(rng.integers(20, 60, 6))})
+    model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                vocab_size=62 + tok.offset, twist_init=False))
+    args = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+        "data.train_path=/dev/null", "data.val_path=/dev/null",
+        f"training_args.output_dir={tmp_path}/dpo",
+        "training_args.per_device_train_batch_size=1",
+        "training_args.max_steps=10", "training_args.logging_steps=1",
+        "training_args.learning_rate=5e-4",
+    ]).training_args
+    tr = SLAMDPOTrainer(model, tok, args, rows, eval_dataset=rows[:8])
+    state = tr.train()
+    margins = [r["rewards/margins"] for r in state.log_history if "rewards/margins" in r]
+    assert len(margins) == 10
+    assert margins[0] == pytest.approx(0.0, abs=1e-4)  # policy == ref at step 1... margin grows after
+    assert margins[-1] > margins[0]
+    accs = [r for r in state.log_history if "eval_rewards/accuracies" in r]
+    assert accs and accs[-1]["eval_rewards/accuracies"] >= 0.5
+    assert (tmp_path / "dpo" / "checkpoint-10").is_dir()
