@@ -39,10 +39,18 @@ def _sample(logits, rng, do_sample, temperature, top_k, top_p):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def _apply_repetition_penalty(logits, seen, penalty):
+    """HF semantics: logits of already-seen ids are divided by the penalty
+    when positive, multiplied when negative."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "do_sample", "temperature",
-                     "top_k", "top_p", "eos_token_id", "pad_token_id"),
+                     "top_k", "top_p", "eos_token_id", "pad_token_id",
+                     "repetition_penalty"),
 )
 def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
              attention_mask: jax.Array, rng: jax.Array,
@@ -51,6 +59,7 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
              top_p: Optional[float] = None,
              eos_token_id: Optional[int] = None,
              pad_token_id: int = 0,
+             repetition_penalty: Optional[float] = None,
              bad_words_mask: Optional[jax.Array] = None) -> jax.Array:
     """input_ids [B, L0] LEFT-padded, attention_mask [B, L0].
     Returns [B, L0 + max_new_tokens]; positions after eos hold pad_token_id.
@@ -72,33 +81,44 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
                             cache_index=0)
     last_logits = logits[:, -1, :]  # rightmost position is the last real token
 
-    def mask_logits(lg):
+    def mask_logits(lg, seen):
         if bad_words_mask is not None:
             lg = jnp.where(bad_words_mask[None, :], NEG_INF, lg)
+        if repetition_penalty is not None and repetition_penalty != 1.0:
+            lg = _apply_repetition_penalty(lg, seen, repetition_penalty)
         return lg
 
+    # per-row presence mask of prompt ids (pads excluded) for the penalty
+    V = cfg.vocab_size
+    seen = jnp.zeros((b, V), bool)
+    one_hot = jax.nn.one_hot(input_ids, V, dtype=jnp.bool_)
+    seen = seen | jnp.any(one_hot & (mask[..., None] > 0), axis=1)
+
     rng, sub = jax.random.split(rng)
-    first = _sample(mask_logits(last_logits), sub, do_sample, temperature, top_k, top_p)
+    first = _sample(mask_logits(last_logits, seen), sub, do_sample,
+                    temperature, top_k, top_p)
+    seen = seen.at[jnp.arange(b), first].set(True)
     finished = jnp.zeros((b,), bool)
     if eos_token_id is not None:
         finished = first == eos_token_id
 
     def step(carry, i):
-        cache, tok, finished, rng = carry
+        cache, tok, finished, seen, rng = carry
         pos = (prompt_len + i)[:, None]  # [B,1] next position index
         logits, cache = forward(params, cfg, tok[:, None],
                                 positions=pos, segment_ids=seg_full,
                                 cache=cache, cache_index=l0 + i)
         rng, sub = jax.random.split(rng)
-        nxt = _sample(mask_logits(logits[:, -1, :]), sub, do_sample,
+        nxt = _sample(mask_logits(logits[:, -1, :], seen), sub, do_sample,
                       temperature, top_k, top_p)
         nxt = jnp.where(finished, pad_token_id, nxt)
+        seen = seen.at[jnp.arange(b), nxt].set(True)
         if eos_token_id is not None:
             finished = finished | (nxt == eos_token_id)
-        return (cache, nxt, finished, rng), tok
+        return (cache, nxt, finished, seen, rng), tok
 
-    (_, last_tok, _, _), toks = jax.lax.scan(
-        step, (cache, first, finished, rng), jnp.arange(max_new_tokens - 1))
+    (_, last_tok, _, _, _), toks = jax.lax.scan(
+        step, (cache, first, finished, seen, rng), jnp.arange(max_new_tokens - 1))
     # toks: [steps, B] tokens fed at each step (i.e. generated tokens 0..n-2)
     gen = jnp.concatenate([toks.T, last_tok[:, None]], axis=1) \
         if max_new_tokens > 1 else first[:, None]

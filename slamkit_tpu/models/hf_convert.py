@@ -193,6 +193,119 @@ def resize_embeddings(params: dict, cfg: DecoderConfig, new_vocab: int,
     return params
 
 
+def export_hf_state_dict(params: dict, cfg: DecoderConfig) -> Dict[str, np.ndarray]:
+    """Reverse conversion: stacked-layer params -> HF state dict (SURVEY.md
+    §5.4 'keep an HF-compatible export for parity evals'). Covers the decoder
+    families the recipes use: qwen2/llama layout and OPT layout."""
+    lp = jax.device_get(params["layers"])
+    out: Dict[str, np.ndarray] = {}
+
+    def put(key, arr, transpose=False):
+        a = np.asarray(arr, dtype=np.float32)
+        # MUST be contiguous: safetensors silently serializes the raw buffer
+        # of a transposed view under the transposed shape (data corruption)
+        out[key] = np.ascontiguousarray(a.T if transpose else a)
+
+    if cfg.pos == "rope" and not cfg.parallel_residual:   # qwen2 / llama
+        pre = "model.layers.{}."
+        for i in range(cfg.num_layers):
+            put(pre.format(i) + "input_layernorm.weight", lp["attn_norm_scale"][i])
+            put(pre.format(i) + "self_attn.q_proj.weight", lp["q_w"][i], transpose=True)
+            put(pre.format(i) + "self_attn.k_proj.weight", lp["k_w"][i], transpose=True)
+            put(pre.format(i) + "self_attn.v_proj.weight", lp["v_w"][i], transpose=True)
+            put(pre.format(i) + "self_attn.o_proj.weight", lp["o_w"][i], transpose=True)
+            put(pre.format(i) + "post_attention_layernorm.weight", lp["mlp_norm_scale"][i])
+            put(pre.format(i) + "mlp.gate_proj.weight", lp["gate_w"][i], transpose=True)
+            put(pre.format(i) + "mlp.up_proj.weight", lp["up_w"][i], transpose=True)
+            put(pre.format(i) + "mlp.down_proj.weight", lp["down_w"][i], transpose=True)
+            if cfg.qkv_bias:
+                put(pre.format(i) + "self_attn.q_proj.bias", lp["q_b"][i])
+                put(pre.format(i) + "self_attn.k_proj.bias", lp["k_b"][i])
+                put(pre.format(i) + "self_attn.v_proj.bias", lp["v_b"][i])
+        put("model.embed_tokens.weight", params["embed"])
+        put("model.norm.weight", params["final_norm_scale"])
+        if cfg.tie_word_embeddings:
+            put("lm_head.weight", params["embed"])
+        else:
+            put("lm_head.weight", params["lm_head"], transpose=True)
+        return out
+
+    if cfg.pos == "learned":                               # opt
+        pre = "model.decoder.layers.{}."
+        for i in range(cfg.num_layers):
+            put(pre.format(i) + "self_attn_layer_norm.weight", lp["attn_norm_scale"][i])
+            put(pre.format(i) + "self_attn_layer_norm.bias", lp["attn_norm_bias"][i])
+            for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                                 ("v", "v_proj"), ("o", "out_proj")):
+                put(pre.format(i) + f"self_attn.{theirs}.weight",
+                    lp[f"{ours}_w"][i], transpose=True)
+                put(pre.format(i) + f"self_attn.{theirs}.bias", lp[f"{ours}_b"][i])
+            put(pre.format(i) + "final_layer_norm.weight", lp["mlp_norm_scale"][i])
+            put(pre.format(i) + "final_layer_norm.bias", lp["mlp_norm_bias"][i])
+            put(pre.format(i) + "fc1.weight", lp["up_w"][i], transpose=True)
+            put(pre.format(i) + "fc1.bias", lp["up_b"][i])
+            put(pre.format(i) + "fc2.weight", lp["down_w"][i], transpose=True)
+            put(pre.format(i) + "fc2.bias", lp["down_b"][i])
+        put("model.decoder.embed_tokens.weight", params["embed"])
+        put("model.decoder.embed_positions.weight", params["pos_embed"])
+        put("model.decoder.final_layer_norm.weight", params["final_norm_scale"])
+        put("model.decoder.final_layer_norm.bias", params["final_norm_bias"])
+        if cfg.tie_word_embeddings:
+            put("lm_head.weight", params["embed"])
+        else:
+            put("lm_head.weight", params["lm_head"], transpose=True)
+        return out
+
+    raise ValueError(f"HF export not implemented for this architecture: "
+                     f"pos={cfg.pos} parallel_residual={cfg.parallel_residual}")
+
+
+def export_hf_checkpoint(params: dict, cfg: DecoderConfig, base_model_name: str,
+                         save_directory: str):
+    """Write an HF-loadable checkpoint dir (config.json + model.safetensors) so
+    parity evals can run the trained model under transformers."""
+    import json
+
+    os.makedirs(save_directory, exist_ok=True)
+    sd = export_hf_state_dict(params, cfg)
+    from safetensors.numpy import save_file
+
+    save_file(sd, os.path.join(save_directory, "model.safetensors"),
+              metadata={"format": "pt"})
+    if cfg.pos == "learned":
+        hf_cfg = {
+            "model_type": "opt", "architectures": ["OPTForCausalLM"],
+            "hidden_size": cfg.hidden_size, "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads, "ffn_dim": cfg.intermediate_size,
+            "vocab_size": cfg.vocab_size, "word_embed_proj_dim": cfg.hidden_size,
+            "max_position_embeddings": cfg.max_position_embeddings - 0,
+            "do_layer_norm_before": True, "activation_function": "relu",
+            "tie_word_embeddings": cfg.tie_word_embeddings,
+            "pad_token_id": 0, "bos_token_id": 1, "eos_token_id": 1,
+            "torch_dtype": "float32",
+        }
+    else:
+        mt = "qwen2" if cfg.qkv_bias else "llama"
+        hf_cfg = {
+            "model_type": mt,
+            "architectures": ["Qwen2ForCausalLM" if mt == "qwen2" else "LlamaForCausalLM"],
+            "hidden_size": cfg.hidden_size, "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads, "head_dim": cfg.head_dim,
+            "intermediate_size": cfg.intermediate_size, "vocab_size": cfg.vocab_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "rope_theta": cfg.rope_theta, "rms_norm_eps": cfg.norm_eps,
+            "hidden_act": "silu", "tie_word_embeddings": cfg.tie_word_embeddings,
+            "attention_bias": cfg.qkv_bias,
+            "pad_token_id": 0, "bos_token_id": 1, "eos_token_id": 1,
+            "torch_dtype": "float32",
+        }
+    with open(os.path.join(save_directory, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+    logger.info("Exported HF checkpoint (%s) to %s", hf_cfg["model_type"],
+                save_directory)
+
+
 def load_twist_params(config, decoder_cfg: DecoderConfig, seed: int = 0) -> dict:
     """Full TWIST init: pretrained base weights -> convert -> vocab resize.
     Falls back to random init with a warning when weights are unreachable

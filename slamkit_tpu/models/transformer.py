@@ -56,6 +56,11 @@ class DecoderConfig:
     dtype: str = "bfloat16"          # compute dtype
     attn_impl: str = "auto"          # auto | flash | xla
     remat: bool = False
+    # full: recompute everything (min memory); qkv: save q/k/v + attention
+    # output so backward never re-runs the attention forward (the flash
+    # kernel's vjp recomputes blockwise from q/k/v), only the cheap
+    # projections/MLP — ~half the remat recompute for +~50MB/layer.
+    remat_policy: str = "full"       # full | qkv
     flash_block_q: int = 128
     flash_block_k: int = 128
 
@@ -224,6 +229,13 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
         q = _rope(q, positions, cfg)
         k = _rope(k, positions, cfg)
 
+    if cfg.remat and cfg.remat_policy == "qkv":
+        from jax.ad_checkpoint import checkpoint_name
+
+        q = checkpoint_name(q, "attn_q")
+        k = checkpoint_name(k, "attn_k")
+        v = checkpoint_name(v, "attn_v")
+
     new_cache = None
     decode = cache_kv is not None and q.shape[2] == 1
     if cache_kv is not None:
@@ -258,6 +270,10 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
         # the full history during prefill)
         attn = _attention(q, k, v, segment_ids, cfg, causal=True)
 
+    if cfg.remat and cfg.remat_policy == "qkv":
+        from jax.ad_checkpoint import checkpoint_name
+
+        attn = checkpoint_name(attn, "attn_out")
     attn_out = proj(_merge_heads(attn), lp["o_w"], lp.get("o_b"))
 
     if cfg.parallel_residual:
@@ -301,7 +317,12 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             return out, None
 
         if cfg.remat:
-            body = jax.checkpoint(body)
+            if cfg.remat_policy == "qkv":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_q", "attn_k", "attn_v", "attn_out")
+                body = jax.checkpoint(body, policy=policy)
+            else:
+                body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, layer_params)
         new_cache = None
     else:

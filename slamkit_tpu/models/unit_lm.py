@@ -157,6 +157,7 @@ class UnitLM:
     def generate(self, input_ids, attention_mask=None, *, max_new_tokens: int = 150,
                  do_sample: bool = True, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 repetition_penalty: Optional[float] = None,
                  bad_words_ids: Optional[list] = None,
                  seed: Optional[int] = None, rng: Optional[jax.Array] = None,
                  **ignored) -> jax.Array:
@@ -181,6 +182,7 @@ class UnitLM:
                          jnp.asarray(attention_mask), rng,
                          max_new_tokens=max_new_tokens, do_sample=do_sample,
                          temperature=temperature, top_k=top_k, top_p=top_p,
+                         repetition_penalty=repetition_penalty,
                          eos_token_id=self.config.eos_token_id,
                          pad_token_id=self.config.pad_token_id,
                          bad_words_mask=bad_mask)
@@ -192,6 +194,14 @@ class UnitLM:
             json.dump(self.config.to_dict(), f, indent=2)
         np.savez(os.path.join(save_directory, WEIGHTS_NAME),
                  **_flatten(self.params))
+
+    def export_hf(self, save_directory: str):
+        """HF-loadable export (config.json + model.safetensors) so parity
+        evals can run under transformers (SURVEY.md §5.4)."""
+        from .hf_convert import export_hf_checkpoint
+
+        export_hf_checkpoint(self.params, self.decoder,
+                             self.config.base_model_name, save_directory)
 
     @classmethod
     def from_pretrained(cls, path: str, **overrides) -> "UnitLM":

@@ -293,6 +293,11 @@ class SLAMTrainer:
         save_steps = int(args.get("save_steps", 0) or 0)
         eval_steps = int(args.get("eval_steps", 0) or 0)
         do_eval = args.get("eval_strategy", "no") == "steps" and self.eval_batcher
+        # profiling hook (SURVEY.md §5.1): capture a jax.profiler trace of
+        # steps [profile_start, profile_start + profile_steps) into output_dir
+        profile_steps = int(args.get("profile_steps", 0) or 0)
+        profile_start = int(args.get("profile_start", 3) or 3)
+        profiling = False
 
         window_loss, window_t0, window_tokens = [], time.time(), 0
         epoch = int(state.epoch)
@@ -307,8 +312,17 @@ class SLAMTrainer:
                     continue
                 stacked = _stack_microbatches(pending)
                 pending = []
+                if profile_steps and state.global_step == profile_start and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(args.output_dir, "profile"))
+                    profiling = True
                 stacked = jax.device_put(stacked, self._batch_sh)
                 self.train_state, metrics = self._train_step(self.train_state, stacked)
+                if profiling and state.global_step >= profile_start + profile_steps - 1:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("Saved profiler trace to %s/profile", args.output_dir)
                 state.global_step += 1
                 state.epoch = epoch + (state.global_step - epoch * self.steps_per_epoch) \
                     / self.steps_per_epoch

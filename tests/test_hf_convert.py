@@ -91,3 +91,60 @@ def test_resize_embeddings_keeps_overlap():
     resized = resize_embeddings(params, cfg, 502)
     assert resized["embed"].shape == (502, 32)
     np.testing.assert_array_equal(resized["embed"][:99], params["embed"][:99])
+
+
+def test_export_hf_roundtrip_qwen_layout(tmp_path):
+    """Export -> transformers load -> logits must match our forward."""
+    import numpy as np
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from slamkit_tpu.models.hf_convert import export_hf_checkpoint
+    from slamkit_tpu.models.transformer import (DecoderConfig, forward,
+                                                init_params)
+    import jax
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+                        max_position_embeddings=128, norm="rmsnorm",
+                        act="silu_glu", pos="rope", rope_theta=10000.0,
+                        qkv_bias=True, tie_word_embeddings=True,
+                        dtype="float32", attn_impl="xla")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    export_hf_checkpoint(params, cfg, "Qwen/Qwen2.5-0.5B", str(tmp_path / "hf"))
+
+    hf = AutoModelForCausalLM.from_pretrained(str(tmp_path / "hf"),
+                                              torch_dtype=torch.float32).eval()
+    ids = np.array([[1, 5, 9, 3, 2, 60]], dtype=np.int64)
+    with torch.inference_mode():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = forward(params, cfg, ids.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_export_hf_roundtrip_opt_layout(tmp_path):
+    import numpy as np
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from slamkit_tpu.models.hf_convert import export_hf_checkpoint
+    from slamkit_tpu.models.transformer import (DecoderConfig, forward,
+                                                init_params)
+    import jax
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+                        max_position_embeddings=128, norm="layernorm",
+                        norm_bias=True, act="relu", pos="learned",
+                        learned_pos_offset=2, qkv_bias=True, attn_out_bias=True,
+                        mlp_bias=True, tie_word_embeddings=True, norm_eps=1e-5,
+                        dtype="float32", attn_impl="xla")
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    export_hf_checkpoint(params, cfg, "facebook/opt-125m", str(tmp_path / "hf"))
+    hf = AutoModelForCausalLM.from_pretrained(str(tmp_path / "hf"),
+                                              torch_dtype=torch.float32).eval()
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
+    with torch.inference_mode():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = forward(params, cfg, ids.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

@@ -143,3 +143,24 @@ def test_generate_eos_padding():
     gen = np.asarray(out[0, 3:])
     assert gen[0] == 7
     assert (gen[1:] == 0).all()
+
+
+def test_generate_repetition_penalty():
+    """A strong penalty must prevent immediate token repetition loops."""
+    import numpy as np
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                vocab_size=64, twist_init=False))
+    prompt = np.array([[1, 5, 6, 7]], dtype=np.int32)
+    out_greedy = np.asarray(model.generate(prompt, max_new_tokens=12,
+                                           do_sample=False, seed=0))
+    out_pen = np.asarray(model.generate(prompt, max_new_tokens=12,
+                                        do_sample=False,
+                                        repetition_penalty=1e6, seed=0))
+    gen = out_pen[0, 4:]
+    # with an enormous penalty every generated id is unique (greedy, no eos hit)
+    assert len(set(gen.tolist())) == len(gen)
+    # prompt ids count as seen: the penalty keeps them out of the continuation
+    assert not set(gen.tolist()) & {5, 6, 7}
+    assert out_greedy.shape == out_pen.shape
