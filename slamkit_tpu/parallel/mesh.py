@@ -68,6 +68,61 @@ def param_shardings(params, mesh: Mesh, fsdp: bool = False):
         lambda x: NamedSharding(mesh, fsdp_spec(x.shape, mesh)), params)
 
 
+def tp_specs_for_decoder(mesh: Mesh, axis: str = "model") -> dict:
+    """Megatron-style tensor-parallel PartitionSpecs for the stacked-layer
+    decoder params (models/transformer.py): column-parallel q/k/v/up/gate
+    (shard the output feature dim), row-parallel o/down (shard the input dim),
+    embeddings sharded over vocab. XLA inserts the all-reduces over ICI.
+
+    The reference has no TP at all (SURVEY.md §2.8) — this is the cheap 2-D
+    extension its 9B-scale SIMS models would want."""
+    layer_specs = {
+        "attn_norm_scale": P(None, None),
+        "mlp_norm_scale": P(None, None),
+        "attn_norm_bias": P(None, None),
+        "mlp_norm_bias": P(None, None),
+        "q_w": P(None, None, axis), "k_w": P(None, None, axis),
+        "v_w": P(None, None, axis),
+        "q_b": P(None, axis), "k_b": P(None, axis), "v_b": P(None, axis),
+        "o_w": P(None, axis, None), "o_b": P(None, None),
+        "up_w": P(None, None, axis), "gate_w": P(None, None, axis),
+        "up_b": P(None, axis), "gate_b": P(None, axis),
+        "down_w": P(None, axis, None), "down_b": P(None, None),
+    }
+    return {
+        "embed": P(axis, None),
+        "layers": layer_specs,
+        "final_norm_scale": P(None),
+        "final_norm_bias": P(None),
+        "pos_embed": P(None, None),
+        "lm_head": P(None, axis),
+    }
+
+
+def tp_shardings(params, mesh: Mesh, axis: str = "model",
+                 data_axis: str = "data", fsdp: bool = False):
+    """NamedSharding pytree for tensor parallelism (optionally combined with
+    fsdp over the data axis on the remaining dims)."""
+    specs = tp_specs_for_decoder(mesh, axis)
+
+    def resolve(path, leaf):
+        node = specs
+        for p in path:
+            key = getattr(p, "key", None)
+            if key is not None and isinstance(node, dict) and key in node:
+                node = node[key]
+        spec = node if isinstance(node, P) else P()
+        dims = list(spec) + [None] * (leaf.ndim - len(spec))
+        dims = dims[:leaf.ndim]
+        # drop axes that don't divide evenly
+        for i, d in enumerate(dims):
+            if d is not None and leaf.shape[i] % mesh.shape[d] != 0:
+                dims[i] = None
+        return NamedSharding(mesh, P(*dims))
+
+    return jax.tree_util.tree_map_with_path(resolve, params)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch on the mesh: arrays with a batch dim go over 'data',
     scalars replicated."""

@@ -220,3 +220,31 @@ def test_token_id_range_counting(tmp_path):
     tr2 = SLAMTrainer(tiny_model(), args_all, ds, context_len=32)
     state2 = tr2.train()
     assert 0 < state.num_input_tokens_seen < state2.num_input_tokens_seen
+
+
+def test_tp_shardings_forward_parity():
+    """2-D (data, model) mesh: tensor-parallel sharded forward must match the
+    replicated forward bit-for-bit (XLA inserts the collectives)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from slamkit_tpu.models.transformer import forward
+    from slamkit_tpu.parallel.mesh import make_mesh, tp_shardings
+
+    model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                vocab_size=64, twist_init=False,
+                                torch_dtype="float32"), seed=0)
+    cfg = model.decoder
+    mesh = make_mesh([4, 2])  # data=4, model=2
+    shardings = tp_shardings(model.params, mesh)
+    sharded = jax.device_put(model.params, shardings)
+    # at least the big matmul weights actually got split over 'model'
+    assert not sharded["layers"]["up_w"].sharding.is_fully_replicated
+
+    ids = np.arange(64, dtype=np.int32).reshape(4, 16) % 64
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    ref, _ = forward(model.params, cfg, ids)
+    got = jax.jit(lambda p, x: forward(p, cfg, x)[0],
+                  in_shardings=(shardings, batch_sh))(sharded, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
