@@ -130,3 +130,20 @@ def test_process_feature_line_bad_json_skips():
 def test_ignore_tokens_none():
     tok = UnitTokeniser(None, load_fe=False)
     assert tok.get_ignore_tokens("SPEECH") is None
+
+
+def test_native_codec_parity():
+    """C++ bulk codec must agree with the Python path exactly."""
+    import numpy as np
+
+    from slamkit_tpu.native import codec as native
+
+    assert native.available()
+    units = list(np.random.default_rng(0).integers(0, 500, 200))
+    s_native = native.units_to_string(units)
+    s_py = "".join(f"<Un{int(u)}>" for u in units)
+    assert s_native == s_py
+    back = native.string_to_units(s_py + " garbage <Un5> <Unx> <Un12>")
+    assert back.tolist() == [int(u) for u in units] + [5, 12]
+    assert native.string_to_units("").tolist() == []
+    assert native.units_to_string([]) == ""
