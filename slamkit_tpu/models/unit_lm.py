@@ -205,11 +205,58 @@ class UnitLM:
 
     @classmethod
     def from_pretrained(cls, path: str, **overrides) -> "UnitLM":
+        if not os.path.isfile(os.path.join(path, CONFIG_NAME)) and \
+                os.path.isfile(os.path.join(path, "config.json")):
+            return cls._from_reference_checkpoint(path, **overrides)
         with open(os.path.join(path, CONFIG_NAME)) as f:
             cfg = UnitLMConfig.from_dict({**json.load(f), **overrides})
         flat = np.load(os.path.join(path, WEIGHTS_NAME))
         params = _unflatten({k: flat[k] for k in flat.files})
         return cls(cfg, params=params, from_pretrained=True)
+
+    @classmethod
+    def _from_reference_checkpoint(cls, path: str, **overrides) -> "UnitLM":
+        """Load a checkpoint saved by the REFERENCE toolkit (HF PreTrainedModel
+        dir with model_type 'speech_language_model', e.g. slprl/slam_scaled):
+        the wrapped causal LM's weights live under the 'lm.' prefix
+        (reference slamkit/model/unit_lm.py:82-91 wraps AutoModelForCausalLM
+        as self.lm). Strips the prefix and converts per family."""
+        from .hf_convert import convert_state_dict, load_hf_state_dict
+
+        with open(os.path.join(path, "config.json")) as f:
+            ref_cfg = json.load(f)
+        if ref_cfg.get("model_type") not in (None, "speech_language_model"):
+            raise ValueError(f"Not a reference UnitLM checkpoint: {path}")
+        base_config = ref_cfg.get("base_config") or {}
+        cfg = UnitLMConfig.from_dict({
+            "base_model_name": ref_cfg.get("base_model_name", "facebook/opt-125m"),
+            "vocab_size": ref_cfg.get("vocab_size", 502),
+            "twist_init": ref_cfg.get("twist_init", True),
+            "pad_token_id": ref_cfg.get("pad_token_id", 0),
+            "bos_token_id": ref_cfg.get("bos_token_id", 1),
+            "eos_token_id": ref_cfg.get("eos_token_id", 1),
+            **overrides,
+        })
+        sd = load_hf_state_dict(path)
+        sd = {(k[3:] if k.startswith("lm.") else k): v for k, v in sd.items()}
+        obj = cls.__new__(cls)
+        obj.config = cfg
+        # the decoder arch comes from the NESTED base_config when present
+        # (covers bases whose hub config differs from our presets)
+        if base_config.get("model_type"):
+            from .presets import config_from_hf_dict
+
+            kwargs = config_from_hf_dict(base_config)
+            kwargs["vocab_size"] = cfg.vocab_size
+            if cfg.torch_dtype not in ("bfloat16", None):
+                kwargs["dtype"] = "float32"
+            obj.decoder = DecoderConfig(**kwargs)
+        else:
+            obj.decoder = cfg.decoder_config()
+        obj.params = convert_state_dict(sd, obj.decoder)
+        logger.info("Loaded reference-format UnitLM from %s (%.1fM params)",
+                    path, param_count(obj.params) / 1e6)
+        return obj
 
 
 def tlm_factory(cfg) -> UnitLM:

@@ -148,3 +148,50 @@ def test_export_hf_roundtrip_opt_layout(tmp_path):
         want = hf(torch.from_numpy(ids)).logits.numpy()
     got, _ = forward(params, cfg, ids.astype(np.int32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_load_reference_format_checkpoint(tmp_path):
+    """A checkpoint dir as the REFERENCE toolkit saves it ('lm.'-prefixed HF
+    weights + speech_language_model config) loads into UnitLM with logit
+    parity (enables slprl/slam_scaled-style checkpoints)."""
+    import json
+
+    import numpy as np
+    import torch
+    from safetensors.torch import save_file
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from slamkit_tpu.models.unit_lm import UnitLM
+
+    hf_cfg = Qwen2Config(vocab_size=502, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=128,
+                         rope_theta=10000.0, tie_word_embeddings=True,
+                         attn_implementation="eager")
+    torch.manual_seed(0)
+    base = Qwen2ForCausalLM(hf_cfg).eval()
+    d = tmp_path / "ref_ckpt"
+    d.mkdir()
+    # HF drops tied lm_head.weight when saving (shared tensor)
+    sd = {f"lm.{k}": v.contiguous().clone() for k, v in base.state_dict().items()
+          if k != "lm_head.weight"}
+    save_file(sd, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({"model_type": "speech_language_model",
+                   "base_model_name": "Qwen/Qwen2.5-0.5B",
+                   "base_config": {**hf_cfg.to_dict(), "model_type": "qwen2"},
+                   "vocab_size": 502, "twist_init": True,
+                   "pad_token_id": 0, "bos_token_id": 1, "eos_token_id": 1}, f)
+
+    model = UnitLM.from_pretrained(str(d))
+    ids = np.random.RandomState(0).randint(0, 502, size=(2, 10))
+    with torch.inference_mode():
+        want = base(torch.tensor(ids)).logits.numpy()
+    import dataclasses
+
+    model.decoder = dataclasses.replace(model.decoder, dtype="float32",
+                                        attn_impl="xla")
+    from slamkit_tpu.models.transformer import forward
+
+    got, _ = forward(model.params, model.decoder, ids.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
