@@ -30,6 +30,12 @@ logger = logging.getLogger(__name__)
 @main(config_name="train", config_path="../config")
 def train(cfg):
     logging.basicConfig(level=logging.INFO)
+    if cfg.training_args.get("multihost", False):
+        # multi-slice / multi-host: one process per host, data axis spans all
+        # devices; host-side loading shards by process index (SURVEY.md §5.8)
+        import jax
+
+        jax.distributed.initialize()
     if cfg.tokeniser.tokeniser_type == "interleave":
         # interleaved data: text tokeniser must match the model base
         if cfg.tokeniser.params.text_tokeniser_path != cfg.model.config_args.base_model_name:

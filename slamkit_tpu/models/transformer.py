@@ -166,16 +166,24 @@ def _rope(x, positions, cfg: DecoderConfig):
     return jnp.concatenate([rotated.astype(x.dtype), x_pass], axis=-1)
 
 
-def _use_flash(cfg: DecoderConfig) -> bool:
+# Below this many query positions XLA's fused attention beats the Pallas
+# flash kernel (measured on v5e at T=1024, head_dim 64: grad step 359ms XLA vs
+# 487ms flash — the kernel pays 2x for lane-padding d 64->128 and per-block
+# overheads; its O(T) memory only matters at long context).
+FLASH_MIN_SEQ_LEN = 4096
+
+
+def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:
     if cfg.attn_impl == "flash":
         return True
     if cfg.attn_impl == "xla":
         return False
-    return jax.default_backend() not in ("cpu",)
+    return (jax.default_backend() not in ("cpu",)
+            and seq_len >= FLASH_MIN_SEQ_LEN)
 
 
 def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True):
-    if _use_flash(cfg):
+    if _use_flash(cfg, q.shape[2]):
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
                                sm_scale=cfg.head_dim ** -0.5,
                                block_q=cfg.flash_block_q, block_k=cfg.flash_block_k)
