@@ -89,8 +89,10 @@ class HubertFeatureExtractor(AudioFeatureExtractor):
             logger.warning("kmeans has %d centroids but num_units=%d",
                            self.centroids.shape[0], num_units)
         self.params = jax.device_put(self.params)
-        # compile flag kept for surface parity; jit happens regardless
-        self._extract = jax.jit(partial(self._extract_fn), static_argnames=())
+        # compile flag kept for surface parity; jit happens regardless.
+        # params/centroids are ARGUMENTS, not closure captures — captured
+        # weights get baked into the program as constants (huge compiles).
+        self._extract_jit = jax.jit(self._extract_fn)
 
     @staticmethod
     def _load_config(pretrained_model: str) -> HubertConfig:
@@ -127,12 +129,15 @@ class HubertFeatureExtractor(AudioFeatureExtractor):
         return load_kmeans_centroids(kmeans_path)
 
     # -- fused on-device path -------------------------------------------------
-    def _extract_fn(self, wav: jax.Array) -> jax.Array:
+    def _extract_fn(self, params, centroids, wav: jax.Array) -> jax.Array:
         """[B, T] padded wav -> [B, T'] unit ids. One jit: conv frontend +
         transformer tap + k-means argmin (no host round-trip)."""
         padded = jnp.pad(wav, ((0, 0), (40, 40)))
-        hidden = forward(self.params, self.config, padded, tap_layer=self.layer)
-        return assign_clusters(hidden, self.centroids)
+        hidden = forward(params, self.config, padded, tap_layer=self.layer)
+        return assign_clusters(hidden, centroids)
+
+    def _extract(self, wav: jax.Array) -> jax.Array:
+        return self._extract_jit(self.params, self.centroids, wav)
 
     def _bucket(self, t: int) -> int:
         b = self.bucket_samples

@@ -82,6 +82,19 @@ class UnitLMConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
 
+@partial(jax.jit, static_argnames=("decoder", "pad_token_id", "mean_nll"))
+def _ll_jit(params, decoder, pad_token_id, tokens, ignore_mask, mean_nll: bool):
+    seg = jnp.where(tokens == pad_token_id, -1, 0).astype(jnp.int32)
+    # the reference scores bos as a real token; only pads are masked.
+    logits, _ = forward(params, decoder, tokens, segment_ids=seg)
+    if ignore_mask is not None:
+        logits = jnp.where(ignore_mask[None, None, :], -jnp.inf, logits)
+    shifted_x = tokens[..., 1:]
+    shifted_logits = logits[..., :-1, :]
+    mask = shifted_x != pad_token_id
+    return -calc_nll(shifted_logits, shifted_x, mask, mean_nll)
+
+
 def _flatten(tree, prefix=""):
     out = {}
     for k, v in tree.items():
@@ -130,17 +143,11 @@ class UnitLM:
         return cross_entropy_loss(logits, batch["labels"],
                                   batch.get("num_items_in_batch"))
 
-    @partial(jax.jit, static_argnames=("self", "mean_nll"))
     def _ll(self, tokens, ignore_mask, mean_nll: bool):
-        seg = jnp.where(tokens == self.config.pad_token_id, -1, 0).astype(jnp.int32)
-        # the reference scores bos as a real token; only pads are masked.
-        logits, _ = forward(self.params, self.decoder, tokens, segment_ids=seg)
-        if ignore_mask is not None:
-            logits = jnp.where(ignore_mask[None, None, :], -jnp.inf, logits)
-        shifted_x = tokens[..., 1:]
-        shifted_logits = logits[..., :-1, :]
-        mask = shifted_x != self.config.pad_token_id
-        return -calc_nll(shifted_logits, shifted_x, mask, mean_nll)
+        # params passed as a jit ARGUMENT — closure-captured weights would be
+        # baked into the compiled program as constants
+        return _ll_jit(self.params, self.decoder, self.config.pad_token_id,
+                       tokens, ignore_mask, mean_nll)
 
     def log_likelihood(self, tokens, mean_nll: bool = True,
                        ignore_tokens: Optional[List[int]] = None) -> jax.Array:

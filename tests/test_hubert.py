@@ -146,7 +146,7 @@ def test_extract_trim_and_pad(tiny_pair, tmp_path):
     rng = np.random.default_rng(0)
     fe.centroids = rng.standard_normal((10, cfg.hidden_size)).astype(np.float32)
     import jax
-    fe._extract = jax.jit(fe._extract_fn)
+    fe._extract_jit = jax.jit(fe._extract_fn)
 
     wav = rng.standard_normal((2, 3000)).astype(np.float32)
     lens = np.array([3000, 1500])
