@@ -61,6 +61,9 @@ class DecoderConfig:
     # kernel's vjp recomputes blockwise from q/k/v), only the cheap
     # projections/MLP — ~half the remat recompute for +~50MB/layer.
     remat_policy: str = "full"       # full | qkv
+    # checkpoint only the first N layers (the rest keep activations): trades
+    # freed HBM for less recompute. -1 = all layers.
+    remat_layers: int = -1
     flash_block_q: int = 128
     flash_block_k: int = 128
 
@@ -328,10 +331,20 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             if cfg.remat_policy == "qkv":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_q", "attn_k", "attn_v", "attn_out")
-                body = jax.checkpoint(body, policy=policy)
+                ck_body = jax.checkpoint(body, policy=policy)
             else:
-                body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, layer_params)
+                ck_body = jax.checkpoint(body)
+            n_ck = cfg.num_layers if cfg.remat_layers < 0 else \
+                min(cfg.remat_layers, cfg.num_layers)
+            if n_ck == cfg.num_layers:
+                x, _ = jax.lax.scan(ck_body, x, layer_params)
+            else:  # partial remat: first n_ck layers checkpointed, rest plain
+                head = jax.tree_util.tree_map(lambda a: a[:n_ck], layer_params)
+                tail = jax.tree_util.tree_map(lambda a: a[n_ck:], layer_params)
+                x, _ = jax.lax.scan(ck_body, x, head)
+                x, _ = jax.lax.scan(body, x, tail)
+        else:
+            x, _ = jax.lax.scan(body, x, layer_params)
         new_cache = None
     else:
         def body(carry, xs):

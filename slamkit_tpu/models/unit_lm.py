@@ -152,7 +152,16 @@ class UnitLM:
     def log_likelihood(self, tokens, mean_nll: bool = True,
                        ignore_tokens: Optional[List[int]] = None) -> jax.Array:
         """Per-sequence log likelihood (reference unit_lm.py:184-194):
-        optional -inf masking of ignored vocab ids, pads excluded."""
+        optional -inf masking of ignored vocab ids, pads excluded.
+
+        Sequence length is padded up to a multiple of 64 so eval loops over
+        variable-length wavs hit a handful of compiled shapes, not one per
+        batch (pads are length-masked, so scores are unchanged)."""
+        tokens = np.asarray(tokens)
+        rem = (-tokens.shape[-1]) % 64
+        if rem:
+            tokens = np.pad(tokens, [(0, 0)] * (tokens.ndim - 1) + [(0, rem)],
+                            constant_values=self.config.pad_token_id)
         tokens = jnp.asarray(tokens)
         ignore_mask = None
         if ignore_tokens is not None:
@@ -170,11 +179,19 @@ class UnitLM:
                  **ignored) -> jax.Array:
         """Sampling generation; prompts must be LEFT-padded like the reference
         sets padding_side='left' before building prompts (speech_lm.py:44)."""
-        input_ids = jnp.asarray(input_ids)
+        input_ids = np.asarray(input_ids)
         if attention_mask is None:
-            attention_mask = (input_ids != self.config.pad_token_id).astype(jnp.int32)
+            attention_mask = (input_ids != self.config.pad_token_id).astype(np.int32)
         else:
-            attention_mask = jnp.asarray(attention_mask)
+            attention_mask = np.asarray(attention_mask)
+        # bucket prompt length (LEFT pad) so generation compiles per bucket,
+        # not per batch shape
+        rem = (-input_ids.shape[-1]) % 64
+        if rem:
+            input_ids = np.pad(input_ids, [(0, 0), (rem, 0)],
+                               constant_values=self.config.pad_token_id)
+            attention_mask = np.pad(attention_mask, [(0, 0), (rem, 0)])
+        input_ids = jnp.asarray(input_ids)
         bad_mask = None
         if bad_words_ids:
             m = np.zeros((self.decoder.vocab_size,), bool)
@@ -185,14 +202,17 @@ class UnitLM:
             bad_mask = jnp.asarray(m)
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
-        return _generate(self.params, self.decoder, input_ids,
-                         jnp.asarray(attention_mask), rng,
-                         max_new_tokens=max_new_tokens, do_sample=do_sample,
-                         temperature=temperature, top_k=top_k, top_p=top_p,
-                         repetition_penalty=repetition_penalty,
-                         eos_token_id=self.config.eos_token_id,
-                         pad_token_id=self.config.pad_token_id,
-                         bad_words_mask=bad_mask)
+        out = _generate(self.params, self.decoder, input_ids,
+                        jnp.asarray(attention_mask), rng,
+                        max_new_tokens=max_new_tokens, do_sample=do_sample,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        repetition_penalty=repetition_penalty,
+                        eos_token_id=self.config.eos_token_id,
+                        pad_token_id=self.config.pad_token_id,
+                        bad_words_mask=bad_mask)
+        # drop the bucketing pad so callers see [B, original_L0 + new tokens]
+        # (SpeechLM.remove_prompt slices at the original prompt width)
+        return out[:, rem:] if rem else out
 
     # -- persistence ----------------------------------------------------------
     def save_pretrained(self, save_directory: str):
