@@ -307,6 +307,29 @@ def main(config_name: str, config_path: str = "../config", version_base: str | N
         def wrapper(overrides: list[str] | None = None):
             if overrides is None:
                 overrides = sys.argv[1:]
+            # hydra's --config-name/-cn and --config-path/-cp flags
+            overrides = list(overrides)
+            chosen_name, chosen_path = config_name, config_path
+            i = 0
+            while i < len(overrides):
+                item = overrides[i]
+                for flag, is_name in (("--config-name", True), ("-cn", True),
+                                      ("--config-path", False), ("-cp", False)):
+                    if item == flag and i + 1 < len(overrides):
+                        value = overrides[i + 1]
+                        del overrides[i:i + 2]
+                        break
+                    if item.startswith(flag + "="):
+                        value = item.split("=", 1)[1]
+                        del overrides[i]
+                        break
+                else:
+                    i += 1
+                    continue
+                if is_name:
+                    chosen_name = value
+                else:
+                    chosen_path = value
             # honor an explicit JAX_PLATFORMS even when a site customization
             # (e.g. the axon TPU shim) re-forces another platform at startup
             requested = os.environ.get("JAX_PLATFORMS")
@@ -315,8 +338,8 @@ def main(config_name: str, config_path: str = "../config", version_base: str | N
 
                 jax.config.update("jax_platforms", requested)
             fn_dir = os.path.dirname(os.path.abspath(sys.modules[fn.__module__].__file__))
-            config_dir = os.path.normpath(os.path.join(fn_dir, config_path))
-            cfg = compose(config_dir, config_name, overrides)
+            config_dir = os.path.normpath(os.path.join(fn_dir, chosen_path))
+            cfg = compose(config_dir, chosen_name, overrides)
             return fn(cfg)
 
         wrapper.__wrapped_config__ = (config_name, config_path)

@@ -135,3 +135,31 @@ def test_interpolation():
 def test_delete_override(config_dir):
     cfg = compose(config_dir, "train", ["~run_time"])
     assert "run_time" not in cfg
+
+
+REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parent.parent
+
+
+def test_config_name_flag(config_dir):
+    """Hydra's --config-name/-cn flags select another recipe (docs/SIMS.md)."""
+    from slamkit_tpu.config.compose import main as cfg_main
+
+    captured = {}
+
+    class FakeModule:
+        __file__ = str(REPO_ROOT / "cli" / "train.py")
+
+    import sys
+    sys.modules["_fake_cli"] = FakeModule
+
+    def fn(cfg):
+        captured["cfg"] = cfg
+
+    fn.__module__ = "_fake_cli"
+    wrapped = cfg_main("train", "../config")(fn)
+    wrapped(["--config-name", "train_inter_scale",
+             "data.train_path=[/x]", "data.val_path=[/x]"])
+    cfg = captured["cfg"]
+    assert cfg.model.context_len == 2048  # the SIMS recipe
+    wrapped(["--config-name=train", "data.train_path=/x", "data.val_path=/x"])
+    assert captured["cfg"].model.context_len == 512
