@@ -107,12 +107,23 @@ def variance_predictor(params: dict, cfg: dict, x: jax.Array,
     return (h @ params["proj"]["w"].T + params["proj"]["b"])[..., 0]
 
 
+def _upsample_to(signal, max_frames):
+    """Repeat a [1, C, T0] conditioning signal to T frames
+    (reference generator.py:127-148)."""
+    b, c, t0 = signal.shape
+    if max_frames % t0:
+        raise NotImplementedError(
+            "Padding condition signal - misalignment between condition features.")
+    return jnp.repeat(signal, max_frames // t0, axis=2)
+
+
 def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
                            dur_prediction: bool = False,
-                           speaker_id: int = 0, style_id: int = 0) -> np.ndarray:
+                           speaker_id: int = 0, style_id: int = 0,
+                           f0: Optional[np.ndarray] = None) -> np.ndarray:
     """Unit ids [T] or [1, T] -> waveform [T_wav]
     (reference generator.py:150-197 + vocoder.py:56-88 semantics: negative
-    codes dropped by the caller)."""
+    codes dropped by the caller; optional f0 conditioning)."""
     code = jnp.atleast_2d(jnp.asarray(code))
     x = params["dict"][code]  # [1, T, C]
 
@@ -122,6 +133,20 @@ def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
         dur = np.maximum(np.round(np.exp(np.asarray(log_dur)) - 1).astype(int), 1)
         # dynamic re-expansion happens host-side (inference, single sample)
         x = jnp.asarray(np.repeat(np.asarray(x)[0], dur[0], axis=0))[None]
+
+    if cfg.get("f0", None):
+        assert f0 is not None, "this vocoder requires an f0 input"
+        f0 = jnp.atleast_2d(jnp.asarray(f0))
+        if "f0_quant_embed" in params:
+            f0c = params["f0_quant_embed"][f0.astype(jnp.int32)].transpose(0, 2, 1)
+        else:
+            f0c = f0[:, None, :].astype(jnp.float32)
+        xc = x.transpose(0, 2, 1)
+        if xc.shape[-1] < f0c.shape[-1]:
+            xc = _upsample_to(xc, f0c.shape[-1])
+        elif xc.shape[-1] > f0c.shape[-1]:
+            f0c = _upsample_to(f0c, xc.shape[-1])
+        x = jnp.concatenate([xc, f0c], axis=1).transpose(0, 2, 1)
 
     feats = [x.transpose(0, 2, 1)]
     if cfg.get("multispkr", None):
@@ -177,6 +202,8 @@ def convert_torch_generator(sd: Dict[str, np.ndarray], cfg: dict) -> dict:
         params["spkr"] = np.asarray(sd["spkr.weight"], np.float32)
     if "style.weight" in sd:
         params["style"] = np.asarray(sd["style.weight"], np.float32)
+    if "f0_quant_embed.weight" in sd:
+        params["f0_quant_embed"] = np.asarray(sd["f0_quant_embed.weight"], np.float32)
     if any(k.startswith("dur_predictor") for k in sd):
         params["dur_predictor"] = {
             "conv1": {"w": np.asarray(sd["dur_predictor.conv1.0.weight"], np.float32),
