@@ -236,6 +236,8 @@ def parse_single_dataset(cfg, tokeniser, train_path: str,
 
     if cfg.data.get("chunk_units_min_length", None):
         ds["train"] = ds["train"].filter_by_length(min_len=cfg.data.chunk_units_min_length)
+    # reference get_token_stats logging (hf_dataset.py:121-125)
+    logger.info("Statistics over tokens: %s", ds["train"].token_stats())
     return ds
 
 

@@ -82,12 +82,21 @@ class SLAMTrainer:
                 packing=packing, shuffle=False)
 
         # -- steps accounting ------------------------------------------------
-        batches_per_epoch = self.train_batcher.batches_per_epoch()
-        self.steps_per_epoch = max(batches_per_epoch // self.accum, 1)
         max_steps = int(args.get("max_steps", -1) or -1)
         if max_steps > 0:
+            # avoid the exact packed-batch dry pass (O(corpus)) when the step
+            # budget is explicit; estimate steps/epoch from the token count
+            if packing:
+                est = max(train_dataset.num_tokens
+                          // (self.global_batch * self.context_len), 1)
+            else:
+                est = max((len(train_dataset) + self.global_batch - 1)
+                          // self.global_batch, 1)
+            self.steps_per_epoch = max(est // self.accum, 1)
             self.total_steps = max_steps
         else:
+            batches_per_epoch = self.train_batcher.batches_per_epoch()
+            self.steps_per_epoch = max(batches_per_epoch // self.accum, 1)
             epochs = float(args.get("num_train_epochs", 1))
             self.total_steps = max(int(epochs * self.steps_per_epoch), 1)
         self.state.max_steps = self.total_steps
