@@ -170,10 +170,12 @@ def _rope(x, positions, cfg: DecoderConfig):
 
 
 # Below this many query positions XLA's fused attention beats the Pallas
-# flash kernel (measured on v5e at T=1024, head_dim 64: grad step 359ms XLA vs
-# 487ms flash — the kernel pays 2x for lane-padding d 64->128 and per-block
-# overheads; its O(T) memory only matters at long context).
-FLASH_MIN_SEQ_LEN = 4096
+# flash kernel (measured on v5e, head_dim 64, remat grad step:
+#   T=1024 359ms xla / 487ms flash; T=2048 572/763; T=4096 960/1327 —
+# the kernel pays 2x for lane-padding d 64->128 plus per-block overheads).
+# Flash remains opt-in (attn_impl=flash) and the O(T)-memory path for very
+# long context; kernel tuning for small head_dim is future work.
+FLASH_MIN_SEQ_LEN = 8192
 
 
 def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:

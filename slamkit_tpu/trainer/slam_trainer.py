@@ -66,6 +66,7 @@ class SLAMTrainer:
         self.context_len = int(context_len or model.decoder.max_position_embeddings)
         self.state = TrainerState()
         self.control = TrainerControl()
+        self._data_pos = (0, 0)  # (epoch, microbatches consumed in epoch)
 
         self.train_batcher = Batcher(
             train_dataset, self.global_batch, self.context_len,
@@ -216,6 +217,7 @@ class SLAMTrainer:
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.state.global_step,
                        "epoch": self.state.epoch,
+                       "data_pos": list(self._data_pos),
                        "num_input_tokens_seen": self.state.num_input_tokens_seen,
                        "log_history": self.state.log_history[-50:]}, f)
         # export model for eval/from_pretrained parity
@@ -257,6 +259,12 @@ class SLAMTrainer:
         self.state.epoch = st["epoch"]
         self.state.num_input_tokens_seen = st["num_input_tokens_seen"]
         self.state.log_history = st.get("log_history", [])
+        if "data_pos" in st:
+            self._data_pos = tuple(st["data_pos"])
+        else:  # legacy checkpoints: derive (exact in pad mode)
+            epoch = int(self.state.epoch)
+            self._data_pos = (epoch, max(self.state.global_step
+                                         - epoch * self.steps_per_epoch, 0) * self.accum)
         logger.info("Resumed from %s at step %d", path, self.state.global_step)
 
     # ------------------------------------------------------------------ #
@@ -309,14 +317,15 @@ class SLAMTrainer:
         profiling = False
 
         window_loss, window_t0, window_tokens = [], time.time(), 0
-        epoch = int(state.epoch)
-        start_step_in_epoch = state.global_step - epoch * self.steps_per_epoch
-        skip = max(start_step_in_epoch, 0) * self.accum
+        # exact data-stream position, tracked explicitly (steps_per_epoch may
+        # be an estimate under packing) and saved in every checkpoint
+        epoch, skip = self._data_pos
 
         while state.global_step < self.total_steps and not control.should_training_stop:
             pending: List[dict] = []
             for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
                 pending.append(batch)
+                self._data_pos = (epoch, self._data_pos[1] + 1)
                 if len(pending) < self.accum:
                     continue
                 stacked = _stack_microbatches(pending)
@@ -368,8 +377,10 @@ class SLAMTrainer:
                     self.save_checkpoint()
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
-            epoch += 1
-            skip = 0
+            else:  # epoch exhausted (no break): roll to the next epoch
+                epoch += 1
+                skip = 0
+                self._data_pos = (epoch, 0)
 
         # final evaluate + save (a budget-boxed run always ends usable)
         if do_eval:
