@@ -149,7 +149,8 @@ def eval_main(cfg):
             raise ValueError("No run_id specified for wandb logging")
         wandb.init(project=cfg.logger.project, entity=cfg.logger.entity,
                    id=cfg.logger.run_id, resume="must")
-        if "generate" in res and "prompts" in res and cfg.vocoder is not None:
+        if "generate" in res and "prompts" in res and \
+                cfg.vocoder.vocoder_type is not None:
             logs = {}
             for i, (gen, prompt) in enumerate(zip(res["generate"], res["prompts"])):
                 if i == cfg.metric.get("num_log", -1):

@@ -66,13 +66,21 @@ class WavDataset:
         return f_name, load_audio(f_name, self.sample_rate)
 
     def batches(self, batch_size: int, n_workers: int = 4):
-        """Yield (file_names, padded wav [B, Tmax], lens) with decode
-        prefetch overlapping the device compute."""
+        """Yield (file_names, padded wav [B, Tmax], lens) with BOUNDED decode
+        prefetch (window of ~2 batches) overlapping the device compute —
+        Executor.map has no backpressure and would buffer the whole corpus."""
+        from collections import deque
+
+        window = max(2 * batch_size, n_workers)
         with ThreadPoolExecutor(n_workers) as pool:
-            loaded = pool.map(self.load, range(len(self)))
+            futures = deque()
+            idx = 0
             batch = []
-            for item in loaded:
-                batch.append(item)
+            while idx < len(self) or futures:
+                while idx < len(self) and len(futures) < window:
+                    futures.append(pool.submit(self.load, idx))
+                    idx += 1
+                batch.append(futures.popleft().result())
                 if len(batch) == batch_size:
                     yield self._collate(batch)
                     batch = []

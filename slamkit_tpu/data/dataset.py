@@ -190,7 +190,9 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
     sizes = np.array([len(d) for d in datasets])
     # draw sources in blocks until the stopping condition triggers
     cursors = np.zeros(len(datasets), dtype=np.int64)
-    exhausted = np.zeros(len(datasets), dtype=bool)
+    # zero-probability sources can never exhaust by drawing — mark upfront
+    # so all_exhausted terminates
+    exhausted = (p == 0) | (sizes == 0)
     picks: List[tuple] = []
     block = int(max(4096, sizes.sum()))
     done = False

@@ -34,7 +34,12 @@ class SpeechLM:
     def generate(self, wavs, lens=None, output_modality: str = "SPEECH",
                  remove_prompt: bool = False, **kwargs) -> List:
         """Batch continuation: unit arrays / text, or waveforms when a vocoder
-        is attached (reference speech_lm.py:38-55)."""
+        is attached (reference speech_lm.py:38-55).
+
+        The eval CLIs pass metric.used_token_modality positionally here
+        (reference generative_metric.py:104), whose config default is null —
+        treat None as the declared SPEECH default instead of crashing."""
+        output_modality = output_modality or "SPEECH"
         self.tokeniser.text_tokeniser.padding_side = "left"
         tokens = self.tokeniser.build_prompt(wavs, lens,
                                              output_modality=output_modality)

@@ -393,6 +393,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     batch, heads, t_q, d_orig = q.shape
     t_k = k.shape[2]
+    if block_q % _LANES or block_k % _LANES:
+        raise ValueError(
+            f"flash block sizes must be multiples of {_LANES} (the segment-id "
+            f"mask tiles lane-replicated blocks); got block_q={block_q}, "
+            f"block_k={block_k}")
     if sm_scale is None:
         sm_scale = d_orig ** -0.5
 

@@ -54,6 +54,22 @@ class AudioTokeniser(ABC):
     def audio_stringify(self, wav, lens=None) -> List[str]:
         return self.stringify_representation(self.audio_represent(wav, lens))
 
+    @staticmethod
+    def _represent(feature_extractor, wav, lens, dedup: bool) -> List[Dict]:
+        """Shared FE -> {'units','duration'} transform (run-length dedup per
+        reference unit_tokeniser.py:54-60 / interleaving_tokeniser.py:131-139)."""
+        from . import unit_codec
+
+        out = []
+        for t in feature_extractor.extract(wav, lens):
+            if dedup:
+                units, duration = unit_codec.run_length_encode(t)
+            else:
+                units = np.asarray(t).astype(int).tolist()
+                duration = [1] * len(units)
+            out.append({"units": units, "duration": duration})
+        return out
+
 
 def _init_feature_extractor(fe_type: str, cfg):
     if fe_type == "hubert":

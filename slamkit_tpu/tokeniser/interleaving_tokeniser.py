@@ -119,16 +119,7 @@ class InterleavingTokeniser(AudioTokeniser):
 
     # -- audio -> representation -----------------------------------------------
     def audio_represent(self, wav, lens=None) -> List[Dict]:
-        toks = self.speech_fe.extract(wav, lens)
-        out = []
-        for t in toks:
-            if self.dedup:
-                units, duration = unit_codec.run_length_encode(t)
-            else:
-                units = np.asarray(t).astype(int).tolist()
-                duration = [1] * len(units)
-            out.append({"units": units, "duration": duration})
-        return out
+        return self._represent(self.speech_fe, wav, lens, self.dedup)
 
     # -- interleaving -----------------------------------------------------------
     def _assign_interleaved_modality(self, aligned_text: List) -> List:

@@ -93,16 +93,7 @@ class UnitTokeniser(AudioTokeniser):
 
     # -- audio -> representation ---------------------------------------------
     def audio_represent(self, wav, lens=None) -> List[Dict]:
-        toks = self.model.extract(wav, lens)
-        out = []
-        for t in toks:
-            if self.dedup:
-                units, duration = unit_codec.run_length_encode(t)
-            else:
-                units = np.asarray(t).astype(int).tolist()
-                duration = [1] * len(units)
-            out.append({"units": units, "duration": duration})
-        return out
+        return self._represent(self.model, wav, lens, self.dedup)
 
     # -- representation -> string ----------------------------------------------
     def stringify_representation(self, reps: List[Dict], mode: str = "test") -> List[str]:

@@ -214,42 +214,109 @@ class SLAMDPOTrainer:
         self._log({**out, "step": self.state.global_step})
         return out
 
+    # -- checkpointing (same layout as SLAMTrainer: orbax state + json) ------
+    def save_checkpoint(self):
+        import json
+        import os
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.args.output_dir,
+                                            f"checkpoint-{self.state.global_step}"))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), jax.device_get(self.train_state))
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump({"global_step": self.state.global_step,
+                       "epoch": self.state.epoch,
+                       "log_history": self.state.log_history[-50:]}, f)
+        self.model.params = jax.device_get(self.train_state["params"])
+        self.model.save_pretrained(path)
+        logger.info("Saved DPO checkpoint %s", path)
+
+    def _load_checkpoint(self, path):
+        import json
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.device_get(self.train_state)
+        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")),
+                                 target=template)
+        self.train_state = jax.device_put(restored, self._state_sh)
+        with open(os.path.join(path, "trainer_state.json")) as f:
+            st = json.load(f)
+        self.state.global_step = st["global_step"]
+        self.state.epoch = st.get("epoch", 0.0)
+        self.state.log_history = st.get("log_history", [])
+        logger.info("Resumed DPO from %s at step %d", path, self.state.global_step)
+
+    def _latest_checkpoint(self):
+        import os
+
+        out = self.args.output_dir
+        if not os.path.isdir(out):
+            return None
+        cands = [(int(d.split("-")[1]), d) for d in os.listdir(out)
+                 if d.startswith("checkpoint-") and d.split("-")[1].isdigit()
+                 and os.path.isdir(os.path.join(out, d, "state"))]
+        return os.path.join(out, max(cands)[1]) if cands else None
+
     def train(self, resume_from_checkpoint=None):
         args, state, control = self.args, self.state, self.control
+        if resume_from_checkpoint:
+            path = (resume_from_checkpoint
+                    if isinstance(resume_from_checkpoint, str)
+                    else self._latest_checkpoint())
+            if path:
+                self._load_checkpoint(path)
         for cb in self.callbacks:
             cb.on_train_begin(args, state, control)
         logging_steps = int(args.get("logging_steps", 50) or 50)
+        save_steps = int(args.get("save_steps", 0) or 0)
         rng = np.random.default_rng(int(args.get("seed", 0)))
-        epoch = 0
+        n_rows = len(self.train_rows)
+        order_len = n_rows if n_rows >= self.batch_size else \
+            -(-self.batch_size // n_rows) * n_rows  # wrap-around fill
+        spe = max(order_len // self.batch_size, 1)  # steps per epoch
+        epoch = int(state.epoch)
+        # replay the RNG stream for completed epochs so resume continues the
+        # exact permutation sequence
+        for _ in range(epoch):
+            rng.permutation(n_rows)
+        first_skip = round((state.epoch - epoch) * spe)
         while state.global_step < self.total_steps and not control.should_training_stop:
-            order = rng.permutation(len(self.train_rows))
-            if len(order) < self.batch_size:
-                # wrap around so small corpora still fill the static batch shape
-                reps = -(-self.batch_size // len(order))
-                order = np.tile(order, reps)
-            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            order = rng.permutation(n_rows)
+            if n_rows < self.batch_size:
+                order = np.tile(order, order_len // n_rows)
+            for b_idx, start in enumerate(
+                    range(0, len(order) - self.batch_size + 1, self.batch_size)):
+                if first_skip and b_idx < first_skip:
+                    continue
                 rows = [self.train_rows[i] for i in order[start:start + self.batch_size]]
                 batch = jax.device_put(self._collate(rows), self._batch_sh)
                 self.train_state, metrics = self._step(self.train_state,
                                                        self.ref_params, batch)
                 state.global_step += 1
-                state.epoch = epoch + (start + self.batch_size) / max(len(order), 1)
+                state.epoch = epoch + (b_idx + 1) / spe
                 if state.global_step % logging_steps == 0:
                     self._log({k: float(v) for k, v in metrics.items()} |
                               {"learning_rate": float(self.schedule(state.global_step)),
                                "step": state.global_step})
                 for cb in self.callbacks:
                     cb.on_step_end(args, state, control)
+                if save_steps and state.global_step % save_steps == 0:
+                    self.save_checkpoint()
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
+            first_skip = 0
             epoch += 1
         self.evaluate()
-        self.model.params = jax.device_get(self.train_state["params"])
-        import os
-
-        out_dir = os.path.join(args.output_dir, f"checkpoint-{state.global_step}")
-        self.model.save_pretrained(out_dir)
-        logger.info("Saved DPO checkpoint %s", out_dir)
+        self.save_checkpoint()
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
         return state

@@ -67,12 +67,18 @@ class SLAMTrainer:
         self.state = TrainerState()
         self.control = TrainerControl()
         self._data_pos = (0, 0)  # (epoch, microbatches consumed in epoch)
+        self._pending_count = 0  # microbatches consumed but not yet stepped
 
+        # every process iterates the IDENTICAL global batch stream (shuffle is
+        # seed-deterministic); each keeps only its own row shard at device_put
+        # time (slicing the stream by process index would double-shard with
+        # the 'data'-axis batch sharding and silently drop (P-1)/P of the data)
+        self._n_procs = jax.process_count()
+        self._proc = jax.process_index()
         self.train_batcher = Batcher(
             train_dataset, self.global_batch, self.context_len,
             pad_id=model.config.pad_token_id, packing=packing,
-            shuffle=True, seed=int(args.get("seed", 0)),
-            process_index=jax.process_index(), process_count=jax.process_count())
+            shuffle=True, seed=int(args.get("seed", 0)))
         self.eval_batcher = None
         if eval_dataset is not None and len(eval_dataset):
             self.eval_batcher = Batcher(
@@ -124,7 +130,9 @@ class SLAMTrainer:
             return valid.sum()
 
         def step_fn(state, batch):
-            num_items = batch["num_items_in_batch"].sum()
+            # the GLOBAL valid-token count, computed on-device (a host-side
+            # scalar would disagree across processes in multihost runs)
+            num_items = (batch["labels"] != -100).sum()
             micro = {k: batch[k] for k in
                      ("input_ids", "labels", "segment_ids", "positions")}
 
@@ -179,13 +187,8 @@ class SLAMTrainer:
         opt_sh = jax.tree_util.tree_map(opt_sharding, opt_state)
         self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
 
-        batch_sh = {
-            "input_ids": NamedSharding(mesh, P(None, "data")),
-            "labels": NamedSharding(mesh, P(None, "data")),
-            "segment_ids": NamedSharding(mesh, P(None, "data")),
-            "positions": NamedSharding(mesh, P(None, "data")),
-            "num_items_in_batch": rep,
-        }
+        batch_sh = {k: NamedSharding(mesh, P(None, "data"))
+                    for k in ("input_ids", "labels", "segment_ids", "positions")}
         self._batch_sh = batch_sh
         self._train_step = jax.jit(step_fn, donate_argnums=(0,),
                                    in_shardings=(self._state_sh, batch_sh),
@@ -214,10 +217,13 @@ class SLAMTrainer:
         host_state = jax.device_get(self.train_state)
         ckptr.save(os.path.join(path, "state"), host_state)
         ckptr.wait_until_finished()
+        # un-consume any partial accumulation group so resume replays it
+        data_pos = (self._data_pos[0],
+                    max(self._data_pos[1] - self._pending_count, 0))
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.state.global_step,
                        "epoch": self.state.epoch,
-                       "data_pos": list(self._data_pos),
+                       "data_pos": list(data_pos),
                        "num_input_tokens_seen": self.state.num_input_tokens_seen,
                        "log_history": self.state.log_history[-50:]}, f)
         # export model for eval/from_pretrained parity
@@ -284,6 +290,21 @@ class SLAMTrainer:
         self._log({**metrics, "step": self.state.global_step})
         return metrics
 
+    def _put_train_batch(self, stacked: Dict[str, np.ndarray]):
+        """Place a [A, B_global, T] host batch on the mesh. Multihost: every
+        process holds the identical global batch; each contributes only its
+        addressable row shard."""
+        stacked = {k: stacked[k] for k in self._batch_sh}
+        if self._n_procs == 1:
+            return jax.device_put(stacked, self._batch_sh)
+        rows = stacked["input_ids"].shape[1] // self._n_procs
+        lo = self._proc * rows
+        return {
+            k: jax.make_array_from_process_local_data(
+                self._batch_sh[k], v[:, lo:lo + rows], v.shape)
+            for k, v in stacked.items()
+        }
+
     def _eval_batch_put(self, batch):
         rep = replicated(self.mesh)
         data = NamedSharding(self.mesh, P("data"))
@@ -321,20 +342,26 @@ class SLAMTrainer:
         # be an estimate under packing) and saved in every checkpoint
         epoch, skip = self._data_pos
 
+        # pending accumulates ACROSS epochs: a corpus smaller than one
+        # accumulation group still makes progress instead of spinning forever
+        pending: List[dict] = []
         while state.global_step < self.total_steps and not control.should_training_stop:
-            pending: List[dict] = []
+            yielded = 0
             for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
+                yielded += 1
                 pending.append(batch)
                 self._data_pos = (epoch, self._data_pos[1] + 1)
+                self._pending_count = len(pending)
                 if len(pending) < self.accum:
                     continue
                 stacked = _stack_microbatches(pending)
                 pending = []
+                self._pending_count = 0
                 if profile_steps and state.global_step == profile_start and not profiling:
                     jax.profiler.start_trace(
                         os.path.join(args.output_dir, "profile"))
                     profiling = True
-                stacked = jax.device_put(stacked, self._batch_sh)
+                stacked = self._put_train_batch(stacked)
                 self.train_state, metrics = self._train_step(self.train_state, stacked)
                 if profiling and state.global_step >= profile_start + profile_steps - 1:
                     jax.block_until_ready(metrics["loss"])
@@ -378,6 +405,10 @@ class SLAMTrainer:
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
             else:  # epoch exhausted (no break): roll to the next epoch
+                if yielded == 0 and not pending:
+                    raise RuntimeError(
+                        "training dataset produced no batches (empty after "
+                        "filters/skip?) — cannot make progress")
                 epoch += 1
                 skip = 0
                 self._data_pos = (epoch, 0)

@@ -91,3 +91,46 @@ def test_dpo_training_improves_margin(tmp_path):
     accs = [r for r in state.log_history if "eval_rewards/accuracies" in r]
     assert accs and accs[-1]["eval_rewards/accuracies"] >= 0.5
     assert (tmp_path / "dpo" / "checkpoint-10").is_dir()
+
+
+def test_dpo_checkpoint_resume_equivalence(tmp_path):
+    from slamkit_tpu.trainer import TrainerCallback
+
+    tok = UnitTokeniser(load_fe=False, num_units=60)
+    rng = np.random.default_rng(1)
+    rows = [{"prompt": unit_str(rng.integers(0, 60, 5)),
+             "chosen": unit_str([7, 8, 9]),
+             "rejected": unit_str(rng.integers(20, 60, 4))} for _ in range(64)]
+
+    class StopAt(TrainerCallback):
+        def __init__(self, n):
+            self.n = n
+
+        def on_step_end(self, args, state, control, **kw):
+            if state.global_step >= self.n:
+                control.should_training_stop = True
+
+    def run(out, resume=False, stop_at=None):
+        model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                    vocab_size=62 + 2, twist_init=False,
+                                    torch_dtype="float32"), seed=0)
+        args = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+            "data.train_path=/dev/null", "data.val_path=/dev/null",
+            f"training_args.output_dir={out}",
+            "training_args.per_device_train_batch_size=1",
+            "training_args.max_steps=4", "training_args.logging_steps=1",
+        ]).training_args
+        cbs = [StopAt(stop_at)] if stop_at else []
+        tr = SLAMDPOTrainer(model, tok, args, rows, callbacks=cbs)
+        tr.train(resume_from_checkpoint=resume)
+        return model.params
+
+    import jax
+
+    p_straight = run(tmp_path / "a")
+    run(tmp_path / "b", stop_at=2)
+    p_resumed = run(tmp_path / "b", resume=True)
+    for x, y in zip(jax.tree_util.tree_leaves(p_straight),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
