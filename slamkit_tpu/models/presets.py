@@ -39,6 +39,27 @@ PRESETS: dict[str, dict] = {
         pos="rope", rope_theta=1000000.0, qkv_bias=True,
         tie_word_embeddings=True, norm_eps=1e-6,
     ),
+    "Qwen/Qwen2.5-3B": dict(
+        hidden_size=2048, num_layers=36, num_heads=16, num_kv_heads=2,
+        head_dim=128, intermediate_size=11008, vocab_size=151936,
+        max_position_embeddings=32768, norm="rmsnorm", act="silu_glu",
+        pos="rope", rope_theta=1000000.0, qkv_bias=True,
+        tie_word_embeddings=True, norm_eps=1e-6,
+    ),
+    "Qwen/Qwen2.5-7B": dict(
+        hidden_size=3584, num_layers=28, num_heads=28, num_kv_heads=4,
+        head_dim=128, intermediate_size=18944, vocab_size=152064,
+        max_position_embeddings=131072, norm="rmsnorm", act="silu_glu",
+        pos="rope", rope_theta=1000000.0, qkv_bias=True,
+        tie_word_embeddings=False, norm_eps=1e-6,
+    ),
+    "meta-llama/Llama-3.2-3B": dict(
+        hidden_size=3072, num_layers=28, num_heads=24, num_kv_heads=8,
+        head_dim=128, intermediate_size=8192, vocab_size=128256,
+        max_position_embeddings=131072, norm="rmsnorm", act="silu_glu",
+        pos="rope", rope_theta=500000.0,
+        tie_word_embeddings=True, norm_eps=1e-5,
+    ),
     "meta-llama/Llama-3.2-1B": dict(
         hidden_size=2048, num_layers=16, num_heads=32, num_kv_heads=8,
         head_dim=64, intermediate_size=8192, vocab_size=128256,

@@ -222,6 +222,19 @@ class UnitLM:
         np.savez(os.path.join(save_directory, WEIGHTS_NAME),
                  **_flatten(self.params))
 
+    def push_to_hub(self, repo_id: str, private: bool = True, **kwargs):
+        """Upload the HF-format export to the Hub (reference README.md:154
+        surface; requires huggingface_hub + network)."""
+        import tempfile
+
+        from huggingface_hub import HfApi
+
+        api = HfApi()
+        api.create_repo(repo_id, private=private, exist_ok=True)
+        with tempfile.TemporaryDirectory() as d:
+            self.export_hf(d)
+            api.upload_folder(repo_id=repo_id, folder_path=d, **kwargs)
+
     def export_hf(self, save_directory: str):
         """HF-loadable export (config.json + model.safetensors) so parity
         evals can run under transformers (SURVEY.md §5.4)."""
