@@ -12,6 +12,13 @@ from ..config import to_container
 logger = logging.getLogger(__name__)
 
 
+def init_compile():
+    """Surface parity with the reference's torch.compile hook
+    (reference init_utils.py:18-19). Everything here is jit-compiled
+    unconditionally, so this only keeps the env contract."""
+    os.environ["ACCELERATE_DYNAMO_USE_DYNAMIC"] = "1"
+
+
 def init_wandb(cfg, name: str):
     """Start a wandb run (rank-0 only, reference cli/train.py:58-66) and
     upload the composed config as a run artifact."""
