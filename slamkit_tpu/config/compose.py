@@ -52,7 +52,9 @@ class _ConfigLoader(yaml.SafeLoader):
 
 def _construct_scalar(loader, node):
     value = loader.construct_scalar(node)
-    if isinstance(value, str) and _SCI_FLOAT_RE.match(value):
+    # only PLAIN scalars coerce — an explicitly quoted '1e5' stays a string,
+    # matching OmegaConf (node.style is None for unquoted scalars)
+    if isinstance(value, str) and node.style is None and _SCI_FLOAT_RE.match(value):
         return float(value)
     return value
 
@@ -242,7 +244,11 @@ class _Composer:
 
 
 def _is_choice_override(key: str, config_dir: str) -> bool:
-    """`model=slam` is a group choice iff config_dir/model/ is a directory."""
+    """`model=slam` / `tokeniser/feature_extractor=x` are group choices iff
+    the matching config subdirectory exists. Hydra semantics: a DOTTED key
+    (`a.b=v`) is always a value-path override, never a group choice — so
+    `tokeniser.feature_extractor=/local/ckpt` sets the value even though
+    config/tokeniser/feature_extractor/ is a group directory."""
     if "." in key:
         return False
     return os.path.isdir(os.path.join(config_dir, key.strip("/")))
@@ -271,7 +277,7 @@ def compose(config_dir: str, config_name: str,
             raise ValueError(f"Override '{item}' must contain '='")
         key, _, raw_value = item.partition("=")
         key = key.strip()
-        if mode == "set" and _is_choice_override(key.replace(".", "/"), config_dir):
+        if mode == "set" and _is_choice_override(key, config_dir):
             composer.choices[key.replace(".", "/").strip("/")] = (
                 None if raw_value in ("null", "None") else raw_value
             )

@@ -66,13 +66,21 @@ def _unwrap(value: Any) -> Any:
 
 
 class ConfigList:
-    """A list wrapper so nested dicts stay ConfigNodes."""
+    """A list wrapper so nested dicts stay ConfigNodes. Interpolations in
+    items resolve against the root config at access time (like
+    omegaconf ListConfig)."""
 
     def __init__(self, data=()):
         self._data = [_wrap(v) for v in data]
+        self._root = None
+
+    def _resolve_item(self, value):
+        if isinstance(value, str) and "${" in value and self._root is not None:
+            return self._root._resolve(value)
+        return value
 
     def __getitem__(self, idx):
-        return self._data[idx]
+        return self._resolve_item(self._data[idx])
 
     def __setitem__(self, idx, value):
         self._data[idx] = _wrap(value)
@@ -81,7 +89,7 @@ class ConfigList:
         return len(self._data)
 
     def __iter__(self):
-        return iter(self._data)
+        return (self._resolve_item(v) for v in self._data)
 
     def __contains__(self, item):
         return item in self._data
@@ -123,7 +131,8 @@ class ConfigNode:
             if isinstance(v, ConfigNode):
                 v._set_root(root)
             elif isinstance(v, ConfigList):
-                for item in v:
+                v._root = root
+                for item in v._data:
                     if isinstance(item, ConfigNode):
                         item._set_root(root)
 
@@ -262,7 +271,10 @@ class ConfigNode:
         del node._data[parts[-1]]
 
     def merge_with(self, other: "ConfigNode | dict"):
-        """Deep merge: dict values merge recursively, everything else replaces."""
+        """Deep merge: dict values merge recursively, everything else replaces.
+        A '???' (MISSING) value never clobbers an existing concrete value
+        (OmegaConf merge semantics — schema files declare mandatory keys
+        without destroying values provided earlier)."""
         if isinstance(other, dict):
             other = ConfigNode(other)
         for key, value in other._data.items():
@@ -272,6 +284,9 @@ class ConfigNode:
                 and isinstance(value, ConfigNode)
             ):
                 self._data[key].merge_with(value)
+            elif value is MISSING and key in self._data \
+                    and self._data[key] is not MISSING:
+                continue
             else:
                 self._data[key] = copy.deepcopy(value)
 
@@ -283,7 +298,7 @@ class ConfigNode:
             if isinstance(node, ConfigNode):
                 return {k: go(node._resolve(v)) for k, v in node._data.items()}
             if isinstance(node, ConfigList):
-                return [go(v) for v in node._data]
+                return [go(v) for v in node]  # iteration resolves interpolations
             if node is MISSING:
                 return "???"
             return node

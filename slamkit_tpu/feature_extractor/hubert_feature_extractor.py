@@ -111,11 +111,23 @@ class HubertFeatureExtractor(AudioFeatureExtractor):
 
     @staticmethod
     def _resolve_kmeans(kmeans_path: str, cache_path: str) -> np.ndarray:
-        cached = os.path.join(cache_path, "kmeans_model.bin")
+        # cache key includes the URL basename + a hash: the reference caches
+        # every quantizer to one fixed 'kmeans_model.bin'
+        # (hubert_feature_extractor.py:31-38), which silently serves the WRONG
+        # centroids after switching tokenisers with equal num_units
+        import hashlib
+
+        tag = hashlib.sha256(kmeans_path.encode()).hexdigest()[:12]
+        base = os.path.basename(kmeans_path.rstrip("/")) or "kmeans_model.bin"
+        cached = os.path.join(cache_path, f"{tag}-{base}")
+        legacy = os.path.join(cache_path, "kmeans_model.bin")
         if kmeans_path.startswith(("http://", "https://")):
-            for cand in (cached, cached + ".npy",
-                         os.path.join(cache_path, "kmeans_model.npy")):
+            for cand in (cached, cached + ".npy", legacy, legacy + ".npy"):
                 if os.path.exists(cand):
+                    if cand.startswith(legacy):
+                        logger.warning(
+                            "using legacy cache %s — delete it if you switched "
+                            "quantizers (it is not keyed by URL)", cand)
                     return load_kmeans_centroids(cand)
             try:  # zero-egress environments raise here with a clear message
                 from torch.hub import download_url_to_file

@@ -9,10 +9,7 @@ centroid dot products are computed (SURVEY.md §2.9).
 from __future__ import annotations
 
 import logging
-import os
 import pickle
-import struct
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,21 +62,29 @@ def save_kmeans_centroids(path: str, centroids: np.ndarray):
 
 def kmeans_fit(x: np.ndarray, num_clusters: int, iters: int = 25,
                seed: int = 0, batch: int = 1 << 16) -> np.ndarray:
-    """Lloyd's k-means on device (jit per iteration) — replaces the
-    sklearn/Cython fit for training new quantizers. x: [N, C]."""
+    """Lloyd's k-means on device — replaces the sklearn/Cython fit for
+    training new quantizers. x: [N, C] streams through the device in `batch`
+    chunks, so datasets far larger than HBM fit (and x is a jit ARGUMENT,
+    never a baked-in program constant)."""
     rng = np.random.default_rng(seed)
-    centroids = jnp.asarray(x[rng.choice(len(x), num_clusters, replace=False)])
-    x = jnp.asarray(x, dtype=jnp.float32)
+    centroids = jnp.asarray(np.asarray(
+        x[rng.choice(len(x), num_clusters, replace=False)], dtype=np.float32))
 
     @jax.jit
-    def step(c):
-        ids = assign_clusters(x, c)
+    def partial_sums(c, xb):
+        ids = assign_clusters(xb, c)
         one_hot = jax.nn.one_hot(ids, num_clusters, dtype=jnp.float32)
-        counts = one_hot.sum(0)
-        sums = one_hot.T @ x
-        new_c = sums / jnp.maximum(counts[:, None], 1.0)
-        return jnp.where(counts[:, None] > 0, new_c, c)
+        return one_hot.sum(0), one_hot.T @ xb
 
+    n = len(x)
     for _ in range(iters):
-        centroids = step(centroids)
+        counts = jnp.zeros((num_clusters,), jnp.float32)
+        sums = jnp.zeros((num_clusters, x.shape[1]), jnp.float32)
+        for lo in range(0, n, batch):
+            xb = jnp.asarray(np.asarray(x[lo:lo + batch], dtype=np.float32))
+            cb, sb = partial_sums(centroids, xb)
+            counts = counts + cb
+            sums = sums + sb
+        new_c = sums / jnp.maximum(counts[:, None], 1.0)
+        centroids = jnp.where(counts[:, None] > 0, new_c, centroids)
     return np.asarray(centroids)

@@ -26,7 +26,8 @@ def _sample(logits, rng, do_sample, temperature, top_k, top_p):
     if temperature not in (None, 1.0):
         logits = logits / jnp.maximum(temperature, 1e-6)
     if top_k is not None and top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        # HF clamps top_k to the vocab size (TopKLogitsWarper semantics)
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
     if top_p is not None and top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
@@ -67,6 +68,8 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     """
     b, l0 = input_ids.shape
     total = l0 + max_new_tokens
+    if max_new_tokens <= 0:  # HF returns the prompt unchanged
+        return input_ids
 
     mask = attention_mask.astype(jnp.int32)
     prompt_seg = jnp.where(mask > 0, 0, -1).astype(jnp.int32)

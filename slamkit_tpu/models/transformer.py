@@ -169,14 +169,14 @@ def _rope(x, positions, cfg: DecoderConfig):
     return jnp.concatenate([rotated.astype(x.dtype), x_pass], axis=-1)
 
 
-# Below this many query positions XLA's fused attention beats flash kernels
-# (measured on v5e, head_dim 64, remat grad step at T=1024:
-#   359ms XLA / 487ms ours / 456ms jax.experimental pallas flash_attention;
-#   T=2048 572/763 XLA-vs-ours; T=4096 960/1327 — flash pays 2x for
-# lane-padding d 64->128 plus per-block overheads at short context).
-# Flash remains opt-in (attn_impl=flash) and the O(T)-memory path for very
-# long context; kernel tuning for small head_dim is future work.
-FLASH_MIN_SEQ_LEN = 8192
+# XLA's fused attention beats flash kernels at every length measured on v5e
+# (head_dim 64, remat grad step: T=1024 359ms XLA / 487 ours / 456 jax.exp
+# pallas; T=2048 572/763; T=4096 960/1327; T=8192 1828/2346 — flash pays 2x
+# for lane-padding d 64->128 plus per-block overheads). Beyond this length
+# XLA's [B,H,T,T] score materialisation runs out of HBM and flash's O(T)
+# memory is the only option. Flash is also always available via
+# attn_impl=flash; kernel tuning for small head_dim is future work.
+FLASH_MIN_SEQ_LEN = 16384
 
 
 def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:

@@ -163,3 +163,50 @@ def test_config_name_flag(config_dir):
     assert cfg.model.context_len == 2048  # the SIMS recipe
     wrapped(["--config-name=train", "data.train_path=/x", "data.val_path=/x"])
     assert captured["cfg"].model.context_len == 512
+
+
+def test_merge_missing_never_clobbers():
+    from slamkit_tpu.config.node import ConfigNode
+
+    cfg = ConfigNode({"lr": 0.001})
+    cfg.merge_with({"lr": "???", "new": "???"})
+    assert cfg["lr"] == 0.001
+    import pytest as _pytest
+    from slamkit_tpu.config.node import MissingMandatoryValue
+    with _pytest.raises(MissingMandatoryValue):
+        cfg["new"]
+
+
+def test_quoted_sci_notation_stays_string():
+    from slamkit_tpu.config.compose import _yaml_load
+
+    out = _yaml_load("a: '1e5'\nb: 1e5\nc: \"2e10\"\n")
+    assert out["a"] == "1e5" and isinstance(out["b"], float) and out["c"] == "2e10"
+
+
+def test_dotted_key_is_value_override(config_dir):
+    from slamkit_tpu.config import compose
+
+    # tokeniser.feature_extractor names a group DIR, but a dotted key must be
+    # treated as a value-path override (hydra semantics)
+    cfg = compose(config_dir, "train", [
+        "data.train_path=/x", "data.val_path=/x",
+        "tokeniser.feature_extractor=/my/local/ckpt",
+    ])
+    assert cfg.tokeniser.feature_extractor == "/my/local/ckpt"
+    # slash form still selects the group option
+    cfg2 = compose(config_dir, "train", [
+        "data.train_path=/x", "data.val_path=/x",
+        "tokeniser/feature_extractor=hubert_base_l9",
+    ])
+    assert "hubert" in cfg2.tokeniser.feature_extractor.pretrained_model
+
+
+def test_list_interpolation_resolves():
+    from slamkit_tpu.config.node import ConfigNode
+
+    cfg = ConfigNode({"root": "/data", "paths": ["${root}/train", "${root}/val"]})
+    cfg._set_root(cfg)
+    assert cfg.paths[0] == "/data/train"
+    assert list(cfg.paths) == ["/data/train", "/data/val"]
+    assert cfg.to_container()["paths"] == ["/data/train", "/data/val"]

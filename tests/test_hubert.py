@@ -178,3 +178,36 @@ def test_unit_duration(tiny_pair):
     fe.config = cfg
     assert fe.get_unit_duration() == pytest.approx(5 * 2 * 2 / 16000)
     assert fe.sample_rate == 16000
+
+
+def test_kmeans_cache_keyed_by_url(tmp_path):
+    """Different quantizer URLs must not collide in the cache (the reference
+    caches everything to one fixed kmeans_model.bin)."""
+    import numpy as np
+
+    from slamkit_tpu.feature_extractor.hubert_feature_extractor import \
+        HubertFeatureExtractor
+    from slamkit_tpu.feature_extractor.kmeans import save_kmeans_centroids
+
+    import hashlib
+    for i, url in enumerate(("https://x/km_a.bin", "https://x/km_b.bin")):
+        tag = hashlib.sha256(url.encode()).hexdigest()[:12]
+        save_kmeans_centroids(str(tmp_path / f"{tag}-km_{'ab'[i]}.bin"),
+                              np.full((4, 2), float(i), np.float32))
+    a = HubertFeatureExtractor._resolve_kmeans("https://x/km_a.bin", str(tmp_path))
+    b = HubertFeatureExtractor._resolve_kmeans("https://x/km_b.bin", str(tmp_path))
+    assert a[0, 0] == 0.0 and b[0, 0] == 1.0
+
+
+def test_kmeans_fit_batched_matches_full():
+    import numpy as np
+
+    from slamkit_tpu.feature_extractor.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(0)
+    blobs = np.concatenate([rng.standard_normal((60, 4)) + 10 * i
+                            for i in range(3)]).astype(np.float32)
+    full = kmeans_fit(blobs, 3, iters=5, seed=0, batch=1 << 16)
+    chunked = kmeans_fit(blobs, 3, iters=5, seed=0, batch=64)
+    np.testing.assert_allclose(np.sort(full, 0), np.sort(chunked, 0),
+                               rtol=1e-5, atol=1e-5)

@@ -164,3 +164,18 @@ def test_generate_repetition_penalty():
     # prompt ids count as seen: the penalty keeps them out of the continuation
     assert not set(gen.tolist()) & {5, 6, 7}
     assert out_greedy.shape == out_pen.shape
+
+
+def test_generate_edge_cases():
+    import numpy as np
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                vocab_size=64, twist_init=False))
+    prompt = np.array([[1, 5, 6, 7]], dtype=np.int32)
+    # max_new_tokens=0 returns the prompt unchanged (HF semantics)
+    out0 = np.asarray(model.generate(prompt, max_new_tokens=0, seed=0))
+    assert np.array_equal(out0, prompt)
+    # top_k beyond the vocab is clamped, not a trace error
+    out = model.generate(prompt, max_new_tokens=3, top_k=10_000, seed=0)
+    assert np.asarray(out).shape == (1, 7)
