@@ -198,6 +198,11 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
     done = False
     while not done:
         for src in rng.choice(len(datasets), size=block, p=p):
+            if sizes[src] == 0:  # empty corpus: exhausts instantly, never picks
+                if stopping_strategy == "first_exhausted" or exhausted.all():
+                    done = True
+                    break
+                continue
             if cursors[src] == sizes[src]:
                 exhausted[src] = True
                 if stopping_strategy == "first_exhausted":
@@ -260,11 +265,16 @@ def init_dataset(cfg, tokeniser) -> Dict[str, TokenDataset]:
         ratios = list(cfg.data.train_ratios)
         if len(train_paths) != len(ratios):
             raise ValueError("Number of train paths should match number of train ratios")
-        val_paths = cfg.data.val_path
+        val_paths = cfg.data.get("val_path", None)
         if isinstance(val_paths, str):
             val_paths = [val_paths]
-        val_paths = list(val_paths) + [None] * (len(train_paths) - len(val_paths))
+        val_paths = list(val_paths or []) + \
+            [None] * (len(train_paths) - len(val_paths or []))
         reps = cfg.data.get("repetitions", None)
+        if reps and len(reps) != len(train_paths):
+            raise ValueError(
+                f"Number of repetitions ({len(reps)}) should match number of "
+                f"train paths ({len(train_paths)})")
         trains, vals = [], []
         for i, (tp, vp) in enumerate(zip(train_paths, val_paths)):
             logger.info("Parsing datasets %s and %s", tp, vp)

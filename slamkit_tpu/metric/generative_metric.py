@@ -22,6 +22,19 @@ from .metric_utils import (get_judge, get_llm, get_llm_perplexity,
 logger = logging.getLogger(__name__)
 
 
+def _transcribe(whisper_pipeline, wavs) -> List[str]:
+    """ASR over a batch, with EMPTY clips filtered BEFORE the pipeline call
+    (Whisper's feature extraction fails — or hallucinates — on empty audio)."""
+    wavs = [np.asarray(w, dtype=np.float32) for w in wavs]
+    keep = [i for i, w in enumerate(wavs) if w.size > 0]
+    texts = [""] * len(wavs)
+    if keep:
+        outs = whisper_pipeline([wavs[i] for i in keep], batch_size=len(keep))
+        for i, o in zip(keep, outs):
+            texts[i] = o["text"]
+    return texts
+
+
 def get_cut_location(alignment: List[Tuple[str, float, float]],
                      prompt_length: float) -> float:
     """Closest word END time to the requested prompt length
@@ -137,10 +150,7 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                                  **generate_kwargs)
         gen.extend(gen_res)
         prompts.extend([a[:l] for a, l in zip(audio, lens)])
-        outs = whisper_pipeline([np.asarray(g, dtype=np.float32) for g in gen_res],
-                                batch_size=len(gen_res))
-        res_texts = [o["text"] if np.size(g) > 0 else ""
-                     for g, o in zip(gen_res, outs)]
+        res_texts = _transcribe(whisper_pipeline, gen_res)
         bleus.extend([calc_auto_bleu(t, nltk_word_tokenizer, auto_bleu_n)
                       for t in res_texts])
         nlls.extend(np.asarray(get_llm_perplexity(llm, text_lm_tokeniser,
@@ -176,14 +186,9 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
                                  remove_prompt=True, **generate_kwargs)
         gen.extend(gen_res)
         prompts.extend([a[:l] for a, l in zip(audio, lens)])
-        p_trans = whisper_pipeline([np.asarray(a[:l], dtype=np.float32)
-                                    for a, l in zip(audio, lens)],
-                                   batch_size=len(audio))
-        g_trans = whisper_pipeline([np.asarray(g, dtype=np.float32)
-                                    for g in gen_res], batch_size=len(gen_res))
-        p_texts = [t["text"] if l > 0 else "" for l, t in zip(lens, p_trans)]
-        g_texts = [t["text"] if np.size(g) > 0 else ""
-                   for g, t in zip(gen_res, g_trans)]
+        p_texts = _transcribe(whisper_pipeline,
+                              [a[:l] for a, l in zip(audio, lens)])
+        g_texts = _transcribe(whisper_pipeline, gen_res)
         texts.extend(instruction
                      .replace("[prompt_audio_transcription]", p)
                      .replace("[generated_audio_transcription]", g)

@@ -200,8 +200,12 @@ class SLAMDPOTrainer:
             return {}
         losses, accs = [], []
         rows = self.eval_rows
-        if len(rows) < self.batch_size:  # wrap to fill the static batch shape
-            rows = (rows * (-(-self.batch_size // len(rows))))[:self.batch_size]
+        # pad to a batch multiple by wrapping so the TAIL is scored too
+        # (previously rows beyond the last full batch were silently dropped)
+        rem = (-len(rows)) % self.batch_size
+        if rem:
+            rows = rows + rows[:rem] if rem <= len(rows) else \
+                (rows * (-(-self.batch_size // len(rows))))[:self.batch_size]
         for start in range(0, len(rows) - self.batch_size + 1, self.batch_size):
             batch = self._collate(rows[start:start + self.batch_size])
             batch = jax.device_put(batch, self._batch_sh)

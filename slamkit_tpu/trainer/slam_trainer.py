@@ -345,6 +345,7 @@ class SLAMTrainer:
         # pending accumulates ACROSS epochs: a corpus smaller than one
         # accumulation group still makes progress instead of spinning forever
         pending: List[dict] = []
+        last_eval_step = last_save_step = -1
         while state.global_step < self.total_steps and not control.should_training_stop:
             yielded = 0
             for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
@@ -399,24 +400,29 @@ class SLAMTrainer:
                 if control.should_evaluate:
                     control.should_evaluate = False
                     self.evaluate()
+                    last_eval_step = state.global_step
                 if control.should_save:
                     control.should_save = False
                     self.save_checkpoint()
+                    last_save_step = state.global_step
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
             else:  # epoch exhausted (no break): roll to the next epoch
-                if yielded == 0 and not pending:
+                if yielded == 0 and not pending and skip == 0:
+                    # (skip > 0 just means we resumed at an epoch boundary)
                     raise RuntimeError(
                         "training dataset produced no batches (empty after "
-                        "filters/skip?) — cannot make progress")
+                        "filters?) — cannot make progress")
                 epoch += 1
                 skip = 0
                 self._data_pos = (epoch, 0)
 
-        # final evaluate + save (a budget-boxed run always ends usable)
-        if do_eval:
+        # final evaluate + save (a budget-boxed run always ends usable) —
+        # skipped when a budget-stop callback already did both at this step
+        if do_eval and last_eval_step != state.global_step:
             self.evaluate()
-        self.save_checkpoint()
+        if last_save_step != state.global_step:
+            self.save_checkpoint()
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
         self.model.params = jax.device_get(self.train_state["params"])

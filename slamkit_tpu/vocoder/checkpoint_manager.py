@@ -247,12 +247,17 @@ class CheckpointManager:
         ckpt = self.storage[name]
         self.disk_root.mkdir(parents=True, exist_ok=True)
         dst = self.disk_root / ckpt.fname
-        urllib.request.urlretrieve(ckpt.remote_path, dst)
+        # download to a temp name and rename AFTER hash verification, so an
+        # interrupted transfer can never leave a corrupt file that later
+        # passes the exists() check
+        tmp = self.disk_root / (ckpt.fname + ".part")
+        urllib.request.urlretrieve(ckpt.remote_path, tmp)
         if ckpt.sha256:
-            h = hashlib.sha256(dst.read_bytes()).hexdigest()
+            h = hashlib.sha256(tmp.read_bytes()).hexdigest()
             if h != ckpt.sha256:
-                dst.unlink()
+                tmp.unlink()
                 raise IOError(f"sha256 mismatch for {name}: {h} != {ckpt.sha256}")
+        tmp.replace(dst)
 
     def get_by_name(self, name: str, download_if_needed: bool = True) -> pathlib.Path:
         if name not in self.storage:

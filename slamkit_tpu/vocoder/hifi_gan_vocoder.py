@@ -1,10 +1,14 @@
 """HiFiGANVocoder: named-checkpoint wrapper over the JAX CodeHiFiGAN
 (reference slamkit/vocoder/hifi_gan_vocoder.py:5-22 + hifigan/vocoder.py:22-140).
 Duration prediction is enabled automatically when the checkpoint carries a
-VariancePredictor; negative codes are dropped before synthesis."""
+VariancePredictor; negative codes are dropped before synthesis. Named
+speaker/style metadata (Expresso checkpoints) resolves through the registry
+so `vocode(speaker_id='ex04')` works like the reference's speakers.txt path
+(reference hifigan/vocoder.py:140+ load_vocoder_meta)."""
 from __future__ import annotations
 
 import logging
+from typing import List, Optional, Union
 
 import numpy as np
 
@@ -13,6 +17,13 @@ from .checkpoint_manager import CHECKPOINT_MANAGER
 from .hifigan_jax import code_generator_forward, load_checkpoint
 
 logger = logging.getLogger(__name__)
+
+
+def _load_meta(path) -> Optional[List[str]]:
+    if path is None:
+        return None
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
 
 
 class HiFiGANVocoder(AudioVocoder):
@@ -24,7 +35,13 @@ class HiFiGANVocoder(AudioVocoder):
             name += "-" + vocoder_suffix
         model_path = CHECKPOINT_MANAGER.get_by_name(name)
         config_path = CHECKPOINT_MANAGER.get_by_name(f"{name}-config")
+        speaker_path = (CHECKPOINT_MANAGER.get_by_name(f"{name}-speakers")
+                        if speaker_meta else None)
+        style_path = (CHECKPOINT_MANAGER.get_by_name(f"{name}-styles")
+                      if style_meta else None)
         self.params, self.cfg = load_checkpoint(str(model_path), str(config_path))
+        self.speakers = _load_meta(speaker_path)
+        self.styles = _load_meta(style_path)
         self.has_dur_predictor = "dur_predictor" in self.params
         logger.info("CodeHiFiGAN model loaded (%s)", name)
 
@@ -32,8 +49,17 @@ class HiFiGANVocoder(AudioVocoder):
     def output_sample_rate(self) -> int:
         return self.cfg.get("sampling_rate", 16_000)
 
-    def vocode(self, tokens, speaker_id: int = 0, style_id: int = 0,
-               **kwargs) -> np.ndarray:
+    def _resolve(self, value: Union[int, str], names: Optional[List[str]],
+                 kind: str) -> int:
+        if isinstance(value, str):
+            if not names:
+                raise ValueError(f"named {kind} requested but this vocoder has "
+                                 f"no {kind} metadata")
+            return names.index(value)
+        return int(value)
+
+    def vocode(self, tokens, speaker_id: Union[int, str] = 0,
+               style_id: Union[int, str] = 0, f0=None, **kwargs) -> np.ndarray:
         code = np.asarray(tokens).ravel()
         code = code[code >= 0]  # drop invalid codes (reference vocoder.py:79-81)
         if code.size == 0:
@@ -41,4 +67,6 @@ class HiFiGANVocoder(AudioVocoder):
         return code_generator_forward(
             self.params, self.cfg, code[None],
             dur_prediction=self.has_dur_predictor,
-            speaker_id=speaker_id, style_id=style_id)
+            speaker_id=self._resolve(speaker_id, self.speakers, "speaker"),
+            style_id=self._resolve(style_id, self.styles, "style"),
+            f0=f0)

@@ -188,3 +188,45 @@ def test_saved_ds_cache(tmp_path):
     assert cache.is_dir()
     second = init_dataset(cfg, tok)  # loads from disk this time
     assert np.array_equal(first["train"].tokens, second["train"].tokens)
+
+
+def test_interleave_empty_and_zero_prob_sources():
+    a = make_ds([[1]] * 20)
+    empty = TokenDataset.from_lists([])
+    # empty source, all_exhausted: terminates without IndexError
+    mixed = interleave([a, empty], [0.5, 0.5], stopping_strategy="all_exhausted", seed=0)
+    assert len(mixed) >= 20
+    assert all(mixed[i].tolist() == [1] for i in range(len(mixed)))
+    # zero-probability source, all_exhausted: terminates
+    b = make_ds([[2]] * 5)
+    mixed2 = interleave([a, b], [1.0, 0.0], stopping_strategy="all_exhausted", seed=0)
+    assert len(mixed2) >= 20
+
+
+def test_init_dataset_multi_corpus_no_val(tmp_path):
+    tok = UnitTokeniser(load_fe=False, num_units=500)
+    for name in ("a", "b"):
+        with open(tmp_path / f"{name}.jsonl", "w") as f:
+            for _ in range(5):
+                f.write(json.dumps({"audio_repr": "<Un1><Un2>"}) + "\n")
+    from slamkit_tpu.config import compose
+    cfg = compose(str(REPO_ROOT / "config"), "train", [
+        "data=pretrain_multi_ds",
+        f"data.train_path=[{tmp_path}/a.jsonl,{tmp_path}/b.jsonl]",
+        "data.train_ratios=[0.5,0.5]", "data.repetitions=[1,1]",
+        "data.val_path=null", "model.context_len=16",
+    ])
+    out = init_dataset(cfg, tok)
+    assert len(out["train"]) > 0
+    assert len(out["validation"]) == 0
+
+    # mis-sized repetitions raises a descriptive error, not IndexError
+    import pytest as _pytest
+    cfg2 = compose(str(REPO_ROOT / "config"), "train", [
+        "data=pretrain_multi_ds",
+        f"data.train_path=[{tmp_path}/a.jsonl,{tmp_path}/b.jsonl]",
+        "data.train_ratios=[0.5,0.5]",
+        "data.val_path=null", "model.context_len=16",
+    ])  # repetitions left at the default [1]
+    with _pytest.raises(ValueError, match="repetitions"):
+        init_dataset(cfg2, tok)
