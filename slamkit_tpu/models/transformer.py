@@ -64,8 +64,8 @@ class DecoderConfig:
     # checkpoint only the first N layers (the rest keep activations): trades
     # freed HBM for less recompute. -1 = all layers.
     remat_layers: int = -1
-    flash_block_q: int = 128
-    flash_block_k: int = 128
+    flash_block_q: int = 0          # 0 = auto (largest VMEM-fitting tiles)
+    flash_block_k: int = 0
 
     @property
     def compute_dtype(self):
@@ -169,30 +169,26 @@ def _rope(x, positions, cfg: DecoderConfig):
     return jnp.concatenate([rotated.astype(x.dtype), x_pass], axis=-1)
 
 
-# XLA's fused attention beats flash kernels at every length measured on v5e
-# (head_dim 64, remat grad step: T=1024 359ms XLA / 487 ours / 456 jax.exp
-# pallas; T=2048 572/763; T=4096 960/1327; T=8192 1828/2346 — flash pays 2x
-# for lane-padding d 64->128 plus per-block overheads). Beyond this length
-# XLA's [B,H,T,T] score materialisation runs out of HBM and flash's O(T)
-# memory is the only option. Flash is also always available via
-# attn_impl=flash; kernel tuning for small head_dim is future work.
-FLASH_MIN_SEQ_LEN = 16384
-
-
+# With auto (VMEM-filling) block sizes the Pallas flash kernel beats XLA's
+# fused attention decisively on v5e: full-model remat grad step at
+# [8, 14, 1024, 64] is 224ms flash vs 359ms XLA (36.6k vs 22.8k tok/s) —
+# the FlashAttention-paper 128x128 blocks were the earlier bottleneck
+# (487ms); 1024x1024 tiles amortize grid/DMA overhead, and the custom VJP
+# never materialises the [B, H, T, T] probabilities XLA saves for backward.
 def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:
     if cfg.attn_impl == "flash":
         return True
     if cfg.attn_impl == "xla":
         return False
-    return (jax.default_backend() not in ("cpu",)
-            and seq_len >= FLASH_MIN_SEQ_LEN)
+    return jax.default_backend() not in ("cpu",)
 
 
 def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True):
     if _use_flash(cfg, q.shape[2]):
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
                                sm_scale=cfg.head_dim ** -0.5,
-                               block_q=cfg.flash_block_q, block_k=cfg.flash_block_k)
+                               block_q=cfg.flash_block_q or None,
+                               block_k=cfg.flash_block_k or None)
     return mha_reference(q, k, v, segment_ids=segment_ids, causal=causal,
                          sm_scale=cfg.head_dim ** -0.5)
 

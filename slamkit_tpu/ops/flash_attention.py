@@ -379,20 +379,42 @@ def _pad_to(x, axis, multiple, value=0):
     return jnp.pad(x, pads, constant_values=value)
 
 
+def default_block_sizes(t_q: int, t_k: int) -> tuple:
+    """Largest blocks that keep the f32 score tile within ~4 MB of VMEM.
+    Measured on v5e at [8,14,1024,64]: 1024x1024 blocks run the fwd+bwd in
+    3.4ms vs 10.9ms at the FlashAttention-paper 128x128 — big blocks amortize
+    grid/DMA overhead and keep the MXU busy despite the d=64 lane padding."""
+    bq = min(_round_up(t_q), 1024)
+    bk = min(_round_up(t_k), 1024)
+    while bq * bk * 4 > 4 * 1024 * 1024 and bq > _LANES:
+        bq //= 2
+    return bq, bk
+
+
+def _round_up(x: int, m: int = _LANES) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     segment_ids: Optional[jax.Array] = None,
                     causal: bool = True,
                     sm_scale: Optional[float] = None,
-                    block_q: int = 128,
-                    block_k: int = 128,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
     """Flash attention over [B, H, T, D] tensors with optional [B, T] segment ids.
 
     Handles arbitrary T and D by padding to block/lane multiples; padded keys
     are excluded via the causal mask (tail padding) or a -1 segment id.
+    block sizes default to the largest VMEM-fitting tiles (see
+    default_block_sizes) — far faster than small blocks on TPU.
     """
     batch, heads, t_q, d_orig = q.shape
     t_k = k.shape[2]
+    if block_q is None or block_k is None:
+        dbq, dbk = default_block_sizes(t_q, t_k)
+        block_q = block_q or dbq
+        block_k = block_k or dbk
     if block_q % _LANES or block_k % _LANES:
         raise ValueError(
             f"flash block sizes must be multiples of {_LANES} (the segment-id "
