@@ -58,7 +58,9 @@ int open_audio(DecodeCtx& ctx, const char* path) {
 
 int init_swr(DecodeCtx& ctx, const AVFrame* frame, int target_sr) {
     AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-    AVChannelLayout in_layout;
+    // MUST be zero-initialized: av_channel_layout_copy uninit()s dst first,
+    // and uninit on stack garbage can av_freep a wild pointer
+    AVChannelLayout in_layout = {};
     if (frame->ch_layout.nb_channels > 0) {
         av_channel_layout_copy(&in_layout, &frame->ch_layout);
     } else {
@@ -72,7 +74,7 @@ int init_swr(DecodeCtx& ctx, const AVFrame* frame, int target_sr) {
     return swr_init(ctx.swr);
 }
 
-int drain_swr(DecodeCtx& ctx, std::vector<float>& out, int target_sr) {
+int drain_swr(DecodeCtx& ctx, std::vector<float>& out) {
     // flush resampler tail
     for (;;) {
         int cap = 4096;
@@ -140,7 +142,7 @@ int sk_decode_audio(const char* path, int target_sr, float** out,
         if (rc < 0) return rc;
     }
     if (swr_ready) {
-        rc = drain_swr(ctx, pcm, target_sr);
+        rc = drain_swr(ctx, pcm);
         if (rc < 0) return rc;
     }
 

@@ -21,6 +21,7 @@ _SRC = os.path.join(_HERE, "audio.cpp")
 _LIB = os.path.join(_HERE, "libskaudio.so")
 _LOCK = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
+_failed = False
 
 
 class NativeUnavailable(RuntimeError):
@@ -37,13 +38,19 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
+    global _lib, _failed
     with _LOCK:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            _build()
+        if _failed:  # cache build failures: corpus loops must not re-run g++
+            raise NativeUnavailable("native audio build previously failed")
+        try:
+            if not os.path.exists(_LIB) or \
+                    os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                _build()
+        except Exception:
+            _failed = True
+            raise
         lib = ctypes.CDLL(_LIB)
         lib.sk_decode_audio.argtypes = [
             ctypes.c_char_p, ctypes.c_int,

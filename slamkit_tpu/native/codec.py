@@ -55,8 +55,15 @@ def available() -> bool:
     return _load() is not None
 
 
+class NativeUnavailable(RuntimeError):
+    pass
+
+
 def units_to_string(units: Iterable[int]) -> str:
     lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native codec build failed; use unit_codec's "
+                                "Python path (it checks available() first)")
     arr = np.ascontiguousarray(np.asarray(list(units) if not isinstance(units, np.ndarray) else units, dtype=np.int32))
     ptr = lib.sk_units_to_string(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), arr.size)
@@ -68,6 +75,9 @@ def units_to_string(units: Iterable[int]) -> str:
 
 def string_to_units(text: str) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        raise NativeUnavailable("native codec build failed; use unit_codec's "
+                                "Python path (it checks available() first)")
     n = ctypes.c_int64()
     ptr = lib.sk_string_to_units(text.encode(), ctypes.byref(n))
     try:

@@ -16,9 +16,11 @@ from pathlib import Path
 
 
 def parse_ls_text(data_path, ext="trans.txt"):
-    """LibriSpeech transcripts -> {utterance_id: text} (reference :8-18)."""
+    """LibriSpeech transcripts -> {utterance_id: text} (reference :8-18).
+    Joins with os.path.join — the reference's bare `data_path + '**/...'`
+    silently stops recursing when data_path lacks a trailing slash."""
     out = {}
-    for file in iglob(data_path + f"**/*.{ext}", recursive=True):
+    for file in iglob(os.path.join(data_path, f"**/*.{ext}"), recursive=True):
         with open(file) as f:
             for line in f:
                 parts = line.split()
@@ -96,8 +98,9 @@ def split_repr_file(repr_path, val_path):
 
 
 def train_val_split(data_path, val_size=0.01, seed=None):
-    """Streaming approximate split (reference :107-121)."""
-    if seed:
+    """Streaming approximate split (reference :107-121; unlike the reference,
+    seed=0 is honored — `if seed:` there treats 0 as unseeded)."""
+    if seed is not None:
         random.seed(seed)
     with open(data_path.replace(".json", "_val.json"), "w") as out_val, \
             open(data_path.replace(".json", "_train.json"), "w") as out_train, \
@@ -159,6 +162,9 @@ def create_spoken_swag(hf_name: str, out_path: str, num_samples=None,
     _synthesise_split(list(ds), SPEAKERS, out_path, f"spoken_swag_{split}.jsonl")
 
 
+# The reference writes hellaswag metadata to spoken_swag_{split}.jsonl too
+# (data_prep.py:206 — a copy-paste), silently clobbering a SWAG set sharing
+# the out_path; this port uses a distinct filename.
 def create_spoken_hellaswag(hf_name: str, out_path: str, num_samples=None,
                             split="validation"):
     """Spoken HellaSwag DPO set via TTS (reference :178-228)."""
@@ -184,4 +190,4 @@ def create_spoken_hellaswag(hf_name: str, out_path: str, num_samples=None,
                             "endings", "source_id", "split", "split_type", "label"])
     if num_samples:
         ds = ds.select(range(num_samples))
-    _synthesise_split(list(ds), SPEAKERS, out_path, f"spoken_swag_{split}.jsonl")
+    _synthesise_split(list(ds), SPEAKERS, out_path, f"spoken_hellaswag_{split}.jsonl")
