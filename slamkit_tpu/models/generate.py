@@ -71,6 +71,14 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     if max_new_tokens <= 0:  # HF returns the prompt unchanged
         return input_ids
 
+    # cast weights to the compute dtype ONCE, outside the decode loop —
+    # otherwise every scan step re-streams the f32 master weights from HBM
+    # (decode is weight-bandwidth-bound; this halves the per-step reads)
+    dt = cfg.compute_dtype
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if x.dtype == jnp.float32 and x.ndim > 1 else x,
+        params)
+
     mask = attention_mask.astype(jnp.int32)
     prompt_seg = jnp.where(mask > 0, 0, -1).astype(jnp.int32)
     seg_full = jnp.concatenate(
