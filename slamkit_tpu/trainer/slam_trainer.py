@@ -211,25 +211,33 @@ class SLAMTrainer:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(self._ckpt_dir(self.state.global_step))
-        if os.path.isdir(path):
+        if self._proc == 0 and os.path.isdir(path):
             shutil.rmtree(path)
+        if self._n_procs > 1:  # all procs must see the cleanup before saving
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_clean")
+        # the orbax save is COLLECTIVE: every process participates, passing
+        # the (possibly sharded) device arrays directly
         ckptr = ocp.StandardCheckpointer()
-        host_state = jax.device_get(self.train_state)
-        ckptr.save(os.path.join(path, "state"), host_state)
+        ckptr.save(os.path.join(path, "state"), self.train_state)
         ckptr.wait_until_finished()
-        # un-consume any partial accumulation group so resume replays it
-        data_pos = (self._data_pos[0],
-                    max(self._data_pos[1] - self._pending_count, 0))
-        with open(os.path.join(path, "trainer_state.json"), "w") as f:
-            json.dump({"global_step": self.state.global_step,
-                       "epoch": self.state.epoch,
-                       "data_pos": list(data_pos),
-                       "num_input_tokens_seen": self.state.num_input_tokens_seen,
-                       "log_history": self.state.log_history[-50:]}, f)
-        # export model for eval/from_pretrained parity
-        self.model.params = jax.device_get(self.train_state["params"])
-        self.model.save_pretrained(path)
-        self._rotate_checkpoints()
+        if self._proc == 0:
+            # host-side artifacts are process-0 only
+            data_pos = (self._data_pos[0],
+                        max(self._data_pos[1] - self._pending_count, 0))
+            with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                json.dump({"global_step": self.state.global_step,
+                           "epoch": self.state.epoch,
+                           "data_pos": list(data_pos),
+                           "num_input_tokens_seen": self.state.num_input_tokens_seen,
+                           "log_history": self.state.log_history[-50:]}, f)
+            try:  # HF-style export (may be impossible for fsdp multihost shards)
+                self.model.params = jax.device_get(self.train_state["params"])
+                self.model.save_pretrained(path)
+            except Exception as e:
+                logger.warning("skipping model export (non-addressable shards?): %s", e)
+            self._rotate_checkpoints()
         logger.info("Saved checkpoint %s", path)
 
     def _rotate_checkpoints(self):
@@ -255,10 +263,13 @@ class SLAMTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        template = jax.device_get(self.train_state)
-        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")),
-                                 target=template)
-        self.train_state = jax.device_put(restored, self._state_sh)
+        # abstract target (shape/dtype/sharding) restores straight onto the
+        # mesh — works for replicated AND fsdp-sharded multihost state
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            self.train_state)
+        self.train_state = ckptr.restore(
+            os.path.abspath(os.path.join(path, "state")), target=template)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
         self.state.global_step = st["global_step"]
