@@ -1,0 +1,100 @@
+"""Small unit tests for helpers added late in round 1."""
+import os
+
+import numpy as np
+import pytest
+
+
+def test_default_flash_block_sizes():
+    from slamkit_tpu.ops.flash_attention import default_block_sizes
+
+    assert default_block_sizes(1024, 1024) == (1024, 1024)
+    assert default_block_sizes(128, 128) == (128, 128)
+    # VMEM cap: score tile bq*bk*4B <= 4MB
+    bq, bk = default_block_sizes(8192, 8192)
+    assert bq * bk * 4 <= 4 * 1024 * 1024
+    assert bq % 128 == 0 and bk % 128 == 0
+    # non-multiples round up to lanes
+    bq, bk = default_block_sizes(200, 333)
+    assert bq == 256 and bk == 384
+
+
+def test_flash_block_validation():
+    import jax.numpy as jnp
+
+    from slamkit_tpu.ops import flash_attention
+
+    q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+    with pytest.raises(ValueError, match="multiples"):
+        flash_attention(q, q, q, block_q=64, block_k=64, interpret=True)
+
+
+def test_resolve_reference_path_precedence(monkeypatch):
+    from slamkit_tpu.utils.path_utils import resolve_reference_path
+
+    monkeypatch.setenv("SLAM_REFERENCE_PATH", "/env")
+    assert resolve_reference_path("//reference/d", "/cfg") == "/env/d"
+    monkeypatch.delenv("SLAM_REFERENCE_PATH")
+    assert resolve_reference_path("//reference/d", "/cfg") == "/cfg/d"
+    assert resolve_reference_path("/plain/path", "/cfg") == "/plain/path"
+    with pytest.raises(ValueError):
+        resolve_reference_path("//reference/d", None)
+
+
+def test_checkpoint_manager_registry():
+    from slamkit_tpu.vocoder.checkpoint_manager import CHECKPOINT_MANAGER, CHECKPOINTS
+
+    assert len(CHECKPOINTS) == 50
+    # the names the reference's vocoder configs construct resolve
+    for name in ("mhubert-base-25hz-kmeans-500-hifigan",
+                 "mhubert-base-25hz-kmeans-500-hifigan-config",
+                 "hubert-base-ls960-layer-9-kmeans-500-hifigan-speakers",
+                 "cpc-big-ll6k-kmeans-100", "waveglow"):
+        assert name in CHECKPOINT_MANAGER.storage
+    with pytest.raises(FileNotFoundError):
+        CHECKPOINT_MANAGER.get_by_name("waveglow", download_if_needed=False)
+    with pytest.raises(KeyError):
+        CHECKPOINT_MANAGER.get_by_name("no-such-checkpoint")
+
+
+def test_hifigan_vocoder_meta_resolution(tmp_path):
+    from slamkit_tpu.vocoder.hifi_gan_vocoder import HiFiGANVocoder
+
+    voc = HiFiGANVocoder.__new__(HiFiGANVocoder)
+    voc.speakers = ["ex01", "ex04"]
+    voc.styles = None
+    assert voc._resolve("ex04", voc.speakers, "speaker") == 1
+    assert voc._resolve(3, voc.speakers, "speaker") == 3
+    with pytest.raises(ValueError, match="no style metadata"):
+        voc._resolve("happy", voc.styles, "style")
+
+
+def test_spoken_datasets_write_distinct_files(tmp_path, monkeypatch):
+    # metadata filenames must not collide between swag and hellaswag
+    import slamkit_tpu.utils.data_prep as dp
+
+    written = []
+    monkeypatch.setattr(dp, "_synthesise_split",
+                        lambda ds, sp, out, name: written.append(name))
+
+    class FakeDS(list):
+        def filter(self, fn):
+            return self
+
+        def map(self, fn):
+            return self
+
+        def remove_columns(self, cols):
+            return self
+
+        def select(self, r):
+            return self
+
+    import sys, types
+    fake = types.ModuleType("datasets")
+    fake.load_dataset = lambda *a, **k: FakeDS()
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+    dp.create_spoken_swag("x", str(tmp_path))
+    dp.create_spoken_hellaswag("x", str(tmp_path))
+    assert written == ["spoken_swag_validation.jsonl",
+                       "spoken_hellaswag_validation.jsonl"]
