@@ -1,8 +1,10 @@
 """Headline benchmark: Slam-recipe training throughput on one chip.
 
 Trains the flagship configuration (Qwen2.5-0.5B decoder over the 502-id unit
-vocabulary, context 1024, packed batches — reference config/model/slam.yaml +
-README.md:89) on synthetic packed batches and reports LM tokens/sec/chip.
+vocabulary, context 1024, packed batches, per-device batch 8 x grad-accum 16
+— reference config/model/slam.yaml + README.md:89) on synthetic packed
+batches and reports LM tokens/sec/chip. Accumulation runs as a lax.scan
+inside the jitted step, exactly like the trainer.
 
 Baseline: the reference's Slam run processes 1.4B tokens in 24h on 1×A5000
 (BASELINE.md) ≈ 16,204 tokens/sec. vs_baseline = ours / that.
@@ -21,7 +23,7 @@ def main():
 
     from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
 
-    batch_size, context_len = 8, 1024
+    batch_size, context_len, accum = 8, 1024, 16
     cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
                        twist_init=False, rope_theta=10000.0,
                        torch_dtype="bfloat16", remat=True)
@@ -33,10 +35,10 @@ def main():
     seg = np.repeat(np.arange(8), seg_len)[None].repeat(batch_size, 0)
     pos = np.tile(np.arange(seg_len), 8)[None].repeat(batch_size, 0)
     batch = {
-        "input_ids": rng.integers(2, 502, (batch_size, context_len)).astype(np.int32),
-        "labels": rng.integers(2, 502, (batch_size, context_len)).astype(np.int32),
-        "segment_ids": seg.astype(np.int32),
-        "positions": pos.astype(np.int32),
+        "input_ids": rng.integers(2, 502, (accum, batch_size, context_len)).astype(np.int32),
+        "labels": rng.integers(2, 502, (accum, batch_size, context_len)).astype(np.int32),
+        "segment_ids": np.broadcast_to(seg, (accum,) + seg.shape).astype(np.int32),
+        "positions": np.broadcast_to(pos, (accum,) + pos.shape).astype(np.int32),
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -50,7 +52,17 @@ def main():
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(model.loss_fn)(params, batch)
+        num_items = (batch["labels"] != -100).sum()
+
+        def body(carry, mb):
+            loss_acc, grad_acc = carry
+            loss, grads = jax.value_and_grad(model.loss_fn)(
+                params, {**mb, "num_items_in_batch": num_items})
+            return (loss_acc + loss,
+                    jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -61,14 +73,14 @@ def main():
     params, opt_state, loss = step(params, opt_state, batch)
     float(loss)
 
-    n_steps = 10
+    n_steps = 4
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, batch)
     float(loss)
     dt = time.perf_counter() - t0
 
-    tokens_per_sec = n_steps * batch_size * context_len / dt
+    tokens_per_sec = n_steps * accum * batch_size * context_len / dt
     print(json.dumps({
         "metric": "slam_train_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec, 1),
