@@ -175,7 +175,7 @@ def _rope(x, positions, cfg: DecoderConfig):
 # the FlashAttention-paper 128x128 blocks were the earlier bottleneck
 # (487ms); 1024x1024 tiles amortize grid/DMA overhead, and the custom VJP
 # never materialises the [B, H, T, T] probabilities XLA saves for backward.
-def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:
+def _use_flash(cfg: DecoderConfig) -> bool:
     if cfg.attn_impl == "flash":
         return True
     if cfg.attn_impl == "xla":
@@ -184,7 +184,7 @@ def _use_flash(cfg: DecoderConfig, seq_len: int) -> bool:
 
 
 def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True):
-    if _use_flash(cfg, q.shape[2]):
+    if _use_flash(cfg):
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
                                sm_scale=cfg.head_dim ** -0.5,
                                block_q=cfg.flash_block_q or None,
@@ -257,16 +257,16 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
             k, v = ck.astype(dt), cv.astype(dt)
 
     groups = cfg.num_heads // cfg.num_kv_heads
-    if groups > 1:
-        k = jnp.repeat(k, groups, axis=1)
-        v = jnp.repeat(v, groups, axis=1)
 
     if decode:
-        # single-step decode: q [B,H,1,Dh] against the full cache — plain XLA
-        # attention masked to slots <= cache_index and valid (seg >= 0) keys.
-        # segment_ids here covers the CACHE length, not the step.
+        # single-step decode: grouped-query attention against the UN-REPEATED
+        # cache (materialising the groups-fold of [B,Hkv,T,Dh] per layer per
+        # token would multiply the bandwidth of an already bandwidth-bound
+        # loop). q heads are kv-major, so head i uses kv head i // groups.
+        b_, _, _, dh = q.shape
         t_k = k.shape[2]
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+        qg = q[:, :, 0].reshape(b_, cfg.num_kv_heads, groups, dh)
+        scores = jnp.einsum("bkgd,bktd->bkgt", qg, k,
                             preferred_element_type=jnp.float32) * cfg.head_dim ** -0.5
         key_idx = jnp.arange(t_k)[None, None, None, :]
         valid = key_idx <= cache_index
@@ -274,8 +274,12 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
             valid = valid & (segment_ids[:, None, None, :] >= 0)
         scores = jnp.where(valid, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        attn = jnp.einsum("bkgt,bktd->bkgd", probs, v)
+        attn = attn.reshape(b_, cfg.num_heads, 1, dh)
     else:
+        if groups > 1:
+            k = jnp.repeat(k, groups, axis=1)
+            v = jnp.repeat(v, groups, axis=1)
         # training or prefill: attend within the current window (the window IS
         # the full history during prefill)
         attn = _attention(q, k, v, segment_ids, cfg, causal=True)
@@ -315,8 +319,14 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
 
-    x = params["embed"][input_ids].astype(dt) * 1.0
+    x = params["embed"][input_ids].astype(dt)
     if cfg.pos == "learned":
+        # JAX gather CLAMPS out-of-range indices (torch raises) — overflowing
+        # the position table would silently reuse the last row's embedding
+        if t > cfg.max_position_embeddings:
+            raise ValueError(
+                f"sequence length {t} exceeds max_position_embeddings "
+                f"{cfg.max_position_embeddings} for learned positions")
         x = x + params["pos_embed"][positions + cfg.learned_pos_offset].astype(dt)
 
     layer_params = params["layers"]

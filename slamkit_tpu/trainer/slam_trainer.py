@@ -290,13 +290,17 @@ class SLAMTrainer:
     def evaluate(self) -> Dict[str, float]:
         if self.eval_batcher is None:
             return {}
-        total_nll, total_tokens = 0.0, 0
+        from ..parallel.mesh import shard_batch
+
+        # accumulate ON DEVICE: a float() pull per batch would serialize host
+        # transfers with compute (expensive on remote/tunnel backends)
+        total_nll, total_tokens = jnp.float32(0.0), jnp.int32(0)
         for batch in self.eval_batcher.epoch(0):
-            batch = jax.device_put(batch, self._eval_batch_put(batch))
+            batch = shard_batch(batch, self.mesh)
             nll, n = self._eval_step(self.train_state["params"], batch)
-            total_nll += float(nll)
-            total_tokens += int(n)
-        loss = total_nll / max(total_tokens, 1)
+            total_nll = total_nll + nll
+            total_tokens = total_tokens + n
+        loss = float(total_nll) / max(int(total_tokens), 1)
         metrics = {"eval_loss": loss, "eval_ppl": float(np.exp(min(loss, 30.0)))}
         self._log({**metrics, "step": self.state.global_step})
         return metrics
@@ -316,10 +320,6 @@ class SLAMTrainer:
             for k, v in stacked.items()
         }
 
-    def _eval_batch_put(self, batch):
-        rep = replicated(self.mesh)
-        data = NamedSharding(self.mesh, P("data"))
-        return {k: (data if np.ndim(v) >= 2 else rep) for k, v in batch.items()}
 
     def _log(self, record: dict):
         self.state.log_history.append(record)
@@ -332,8 +332,12 @@ class SLAMTrainer:
         if resume_from_checkpoint:
             path = (resume_from_checkpoint if isinstance(resume_from_checkpoint, str)
                     else self._latest_checkpoint())
-            if path:
-                self.load_checkpoint(path)
+            if not path:
+                # HF Trainer parity: never silently restart from scratch
+                raise ValueError(
+                    f"No valid checkpoint found in {args.output_dir} "
+                    f"(resume_from_checkpoint was requested)")
+            self.load_checkpoint(path)
 
         for cb in self.callbacks:
             cb.on_train_begin(args, state, control)
@@ -381,8 +385,7 @@ class SLAMTrainer:
                     profiling = False
                     logger.info("Saved profiler trace to %s/profile", args.output_dir)
                 state.global_step += 1
-                state.epoch = epoch + (state.global_step - epoch * self.steps_per_epoch) \
-                    / self.steps_per_epoch
+                state.epoch = state.global_step / self.steps_per_epoch
                 loss = float(metrics["loss"])
                 tokens = int(metrics["tokens_seen"])
                 state.num_input_tokens_seen += tokens
@@ -436,5 +439,9 @@ class SLAMTrainer:
             self.save_checkpoint()
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
-        self.model.params = jax.device_get(self.train_state["params"])
+        try:  # fsdp multihost shards may not be host-addressable
+            self.model.params = jax.device_get(self.train_state["params"])
+        except Exception as e:
+            logger.warning("leaving model params on device "
+                           "(non-addressable shards?): %s", e)
         return state

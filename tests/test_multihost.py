@@ -67,7 +67,10 @@ def _losses(output):
 @pytest.mark.slow
 def test_two_process_equivalence(tmp_path):
     p = _run_worker(tmp_path, 0, 1, str(tmp_path / "single"), 0)
-    out, _ = p.communicate(timeout=420)
+    try:
+        out, _ = p.communicate(timeout=420)
+    finally:
+        p.kill()
     assert p.returncode == 0, out[-2000:]
     single = _losses(out)
 
@@ -75,10 +78,15 @@ def test_two_process_equivalence(tmp_path):
     workers = [_run_worker(tmp_path, i, 2, str(tmp_path / "multi"), port)
                for i in range(2)]
     outs = []
-    for w in workers:
-        out, _ = w.communicate(timeout=420)
+    try:
+        for w in workers:
+            out, _ = w.communicate(timeout=420)
+            outs.append(out)
+    finally:  # never leak a worker holding the coordinator port
+        for w in workers:
+            w.kill()
+    for w, out in zip(workers, outs):
         assert w.returncode == 0, out[-2000:]
-        outs.append(out)
     multi0, multi1 = map(_losses, outs)
 
     assert multi0 == multi1 == single

@@ -179,3 +179,11 @@ def test_generate_edge_cases():
     # top_k beyond the vocab is clamped, not a trace error
     out = model.generate(prompt, max_new_tokens=3, top_k=10_000, seed=0)
     assert np.asarray(out).shape == (1, 7)
+
+
+def test_learned_pos_overflow_raises():
+    cfg = dataclasses.replace(TINY, pos="learned", max_position_embeddings=8)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.zeros((1, 12), jnp.int32)
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        forward(params, cfg, ids)
