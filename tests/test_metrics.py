@@ -149,3 +149,25 @@ def test_auto_bleu():
 def test_boxed_parser():
     assert extract_digit_from_boxed(r"the score is \boxed{7} ok") == 7
     assert extract_digit_from_boxed("no box here") is None
+
+
+def test_transcribe_filters_empty_clips():
+    """Empty continuations must never reach the ASR pipeline
+    (Whisper fails/hallucinates on empty audio)."""
+    from slamkit_tpu.metric.generative_metric import _transcribe
+
+    seen = []
+
+    def fake_pipeline(wavs, batch_size):
+        seen.extend(wavs)
+        return [{"text": f"t{len(w)}"} for w in wavs]
+
+    out = _transcribe(fake_pipeline,
+                      [np.zeros(5, np.float32), np.zeros(0, np.float32),
+                       np.zeros(3, np.float32)])
+    assert out == ["t5", "", "t3"]
+    assert all(w.size > 0 for w in seen) and len(seen) == 2
+    # all-empty batch: the pipeline is never called
+    seen.clear()
+    assert _transcribe(fake_pipeline, [np.zeros(0, np.float32)]) == [""]
+    assert seen == []
