@@ -76,14 +76,37 @@ def _pad_batch(wavs: List[np.ndarray]):
     return out, lens
 
 
+def _prefetch_batches(dataset, batch_size, num_workers):
+    """Decode wav pairs on a bounded thread pool so host audio I/O overlaps
+    the device scoring (window of ~2 batches; the reference gets this from
+    torch DataLoader workers)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = max(2 * batch_size, num_workers)
+    with ThreadPoolExecutor(max(num_workers, 1)) as pool:
+        futures = deque()
+        idx = 0
+        items = []
+        while idx < len(dataset) or futures:
+            while idx < len(dataset) and len(futures) < window:
+                futures.append(pool.submit(dataset.__getitem__, idx))
+                idx += 1
+            items.append(futures.popleft().result())
+            if len(items) == batch_size:
+                yield items
+                items = []
+        if items:
+            yield items
+
+
 def modelling_metric(model, dataset, used_token_modality,
                      mean_nll: bool = True, batch_size: int = 1,
                      num_workers: int = 8, pin_memory: bool = True) -> float:
     """Score = mean of 1/0.5/0 for pos >/=/< neg likelihood
     (reference modelling_metric.py:79-99)."""
     results = []
-    for start in range(0, len(dataset), batch_size):
-        items = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
+    for items in _prefetch_batches(dataset, batch_size, num_workers):
         pos, l_pos = _pad_batch([it[0] for it in items])
         neg, l_neg = _pad_batch([it[1] for it in items])
         pos_ll = np.asarray(model.log_likelihood(
