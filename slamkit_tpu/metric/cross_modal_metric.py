@@ -60,9 +60,10 @@ class CrossModalMetricDataset:
 
 def _modelling_metric(model, dataset, used_token_modality, mean_nll=True,
                       batch_size=1, num_workers=8, pin_memory=True) -> float:
+    from .modelling_metric import _prefetch_batches
+
     results = []
-    for start in range(0, len(dataset), batch_size):
-        items = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
+    for items in _prefetch_batches(dataset, batch_size, num_workers):
         pos = [it[0] for it in items]
         neg = [it[1] for it in items]
         pos_ll = np.asarray(model.log_likelihood(

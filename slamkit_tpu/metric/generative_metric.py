@@ -94,9 +94,10 @@ class PromptDataset:
         return os.path.join(self.alignment_folder,
                             basename[:basename.find(".")] + ".json")
 
-    def batches(self, batch_size: int):
-        for start in range(0, len(self), batch_size):
-            wavs = [self[i] for i in range(start, min(start + batch_size, len(self)))]
+    def batches(self, batch_size: int, num_workers: int = 8):
+        from .modelling_metric import _prefetch_batches
+
+        for wavs in _prefetch_batches(self, batch_size, num_workers):
             lens = np.array([len(w) for w in wavs])
             out = np.zeros((len(wavs), int(lens.max())), dtype=np.float32)
             for i, w in enumerate(wavs):
