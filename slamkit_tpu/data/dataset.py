@@ -1,19 +1,26 @@
-"""Token dataset: jsonl -> flat id arrays -> fixed-shape packed batches.
+"""Token dataset: jsonl -> flat id buffer (RAM or memmap) -> packed batches.
 
 Behavioral counterpart of the reference's HF-datasets pipeline
-(reference slamkit/data/hf_dataset.py:16-125) rebuilt TPU-first:
+(reference slamkit/data/hf_dataset.py:16-125) rebuilt TPU-first and scaled to
+Libri-light-size corpora (the reference leans on arrow memory-mapping,
+reference hf_dataset.py:93-96; here the storage is explicit):
 
-  * storage is a single flat int32 buffer + offsets (no per-row Python
-    objects) — chunking, filtering and stats are O(N) numpy, not .map calls;
+  * storage is one flat int32 buffer — in RAM for small corpora, an
+    np.memmap spilled to disk for large ones — plus per-sequence
+    (starts, lengths) views. select / filter / chunk / repeat are O(rows)
+    numpy on the view arrays and NEVER copy the token buffer;
   * batches have STATIC shapes [B, context_len] so XLA compiles once;
   * "packing" fills rows with whole sequences and emits segment_ids /
     positions for the segment-aware flash-attention kernel — the TPU
     equivalent of DataCollatorWithFlattening + FA2 varlen
-    (reference hf_dataset.py:61-64, SURVEY.md §2.8);
+    (reference hf_dataset.py:61-64, SURVEY.md §2.8). The greedy row
+    assignment is a C++ recurrence (native/pack.cpp); token movement into
+    the [B, T] batch is vectorized gather/scatter, no per-sequence Python;
   * multi-corpus mixing replicates interleave_datasets(probabilities,
     stopping_strategy, seed=0) semantics (reference hf_dataset.py:46-52);
-  * multi-host sharding slices the batch stream by process index
-    (SURVEY.md §5.8).
+  * multihost: every process iterates the IDENTICAL global batch stream and
+    the trainer keeps only its row shard at device_put time
+    (slam_trainer.py) — the single sharding mechanism (SURVEY.md §5.8).
 """
 from __future__ import annotations
 
@@ -21,6 +28,7 @@ import dataclasses
 import json
 import logging
 import os
+import tempfile
 from glob import glob
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -30,38 +38,69 @@ logger = logging.getLogger(__name__)
 
 IGNORE_INDEX = -100
 
+# sequences processed per vectorized slab in the batchers / compaction
+_SLAB = 1 << 18
+# load_token_dataset spills the token buffer to disk past this many tokens
+DEFAULT_SPILL_TOKENS = 64 << 20  # 256 MB of int32
+
+
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated — the workhorse of vectorized
+    ragged gather/scatter."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    out_starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens)
+
+
+def _gather_ragged(tokens: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate tokens[starts[i]:starts[i]+lens[i]] for all i (vectorized)."""
+    if len(starts) == 0:
+        return np.empty(0, np.int32)
+    idx = np.repeat(np.asarray(starts, np.int64), lens) + _ranges(lens)
+    return np.asarray(tokens[idx], dtype=np.int32)
+
 
 # --------------------------------------------------------------------------- #
 # storage
 # --------------------------------------------------------------------------- #
 @dataclasses.dataclass
 class TokenDataset:
-    """Ragged token-id sequences in one flat buffer.
-
-    tokens: int32 [total_tokens]; offsets: int64 [num_sequences + 1].
-    Sequence i is tokens[offsets[i]:offsets[i+1]].
-    """
+    """Ragged token-id sequences as (starts, lengths) views over one flat
+    buffer. The buffer may be an np.memmap (disk-backed, bounded RSS);
+    view-producing ops (select/filter/chunk/repeat/shuffle) only touch the
+    O(rows) view arrays."""
 
     tokens: np.ndarray
-    offsets: np.ndarray
+    starts: np.ndarray
+    lengths: np.ndarray
 
     def __post_init__(self):
-        self.tokens = np.ascontiguousarray(self.tokens, dtype=np.int32)
-        self.offsets = np.ascontiguousarray(self.offsets, dtype=np.int64)
+        if not isinstance(self.tokens, np.memmap):
+            self.tokens = np.ascontiguousarray(self.tokens, dtype=np.int32)
+        self.starts = np.ascontiguousarray(self.starts, dtype=np.int64)
+        self.lengths = np.ascontiguousarray(self.lengths, dtype=np.int64)
 
     def __len__(self) -> int:
-        return len(self.offsets) - 1
+        return len(self.starts)
 
     def __getitem__(self, i: int) -> np.ndarray:
-        return self.tokens[self.offsets[i]:self.offsets[i + 1]]
+        s = self.starts[i]
+        return np.asarray(self.tokens[s:s + self.lengths[i]], dtype=np.int32)
 
     @property
-    def lengths(self) -> np.ndarray:
-        return np.diff(self.offsets)
+    def offsets(self) -> np.ndarray:
+        """Logical offsets of the (compacted) view: [0, l0, l0+l1, ...]."""
+        off = np.zeros(len(self) + 1, dtype=np.int64)
+        np.cumsum(self.lengths, out=off[1:])
+        return off
 
     @property
     def num_tokens(self) -> int:
-        return int(self.tokens.size)
+        return int(self.lengths.sum())
 
     @classmethod
     def from_lists(cls, seqs: Sequence[Sequence[int]]) -> "TokenDataset":
@@ -71,70 +110,93 @@ class TokenDataset:
         tokens = np.empty(int(offsets[-1]), dtype=np.int32)
         for i, s in enumerate(seqs):
             tokens[offsets[i]:offsets[i + 1]] = s
-        return cls(tokens, offsets)
+        return cls(tokens, offsets[:-1], lens)
+
+    @classmethod
+    def from_offsets(cls, tokens: np.ndarray, offsets: np.ndarray) -> "TokenDataset":
+        offsets = np.asarray(offsets, dtype=np.int64)
+        return cls(tokens, offsets[:-1], np.diff(offsets))
 
     def select(self, indices: np.ndarray) -> "TokenDataset":
+        """Row subset — an O(rows) view, the buffer is shared."""
         indices = np.asarray(indices, dtype=np.int64)
-        lens = self.lengths[indices]
-        offsets = np.zeros(len(indices) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        tokens = np.empty(int(offsets[-1]), dtype=np.int32)
-        for j, i in enumerate(indices):
-            tokens[offsets[j]:offsets[j + 1]] = self[int(i)]
-        return TokenDataset(tokens, offsets)
+        return TokenDataset(self.tokens, self.starts[indices],
+                            self.lengths[indices])
 
     def filter_by_length(self, min_len: Optional[int] = None,
                          max_len: Optional[int] = None) -> "TokenDataset":
         """Length filters (reference hf_dataset.py:69-88)."""
-        lens = self.lengths
         keep = np.ones(len(self), dtype=bool)
         if min_len is not None:
-            keep &= lens >= min_len
+            keep &= self.lengths >= min_len
         if max_len is not None:
-            keep &= lens <= max_len
-        return self.select(np.nonzero(keep)[0])
+            keep &= self.lengths <= max_len
+        return TokenDataset(self.tokens, self.starts[keep], self.lengths[keep])
 
     def chunk(self, chunk_size: int) -> "TokenDataset":
         """Split every sequence into chunk_size pieces KEEPING the remainder
-        (reference chunk_texts, hf_dataset.py:16-26). The flat buffer is
-        unchanged — only offsets are recomputed (zero-copy)."""
-        lens = self.lengths
-        n_chunks = np.maximum((lens + chunk_size - 1) // chunk_size, 0)
-        new_offsets = np.empty(int(n_chunks.sum()) + 1, dtype=np.int64)
-        pos = 0
-        for i in range(len(self)):
-            start, end = self.offsets[i], self.offsets[i + 1]
-            cuts = np.arange(start, end, chunk_size, dtype=np.int64)
-            new_offsets[pos:pos + len(cuts)] = cuts
-            pos += len(cuts)
-        new_offsets[pos] = self.offsets[-1] if len(self) else 0
-        return TokenDataset(self.tokens, new_offsets[:pos + 1])
+        (reference chunk_texts, hf_dataset.py:16-26). Pure offset arithmetic —
+        the buffer is untouched and no Python loop runs."""
+        c = int(chunk_size)
+        n_chunks = (self.lengths + c - 1) // c  # len-0 rows produce 0 chunks
+        rep_starts = np.repeat(self.starts, n_chunks)
+        rep_lens = np.repeat(self.lengths, n_chunks)
+        k = _ranges(n_chunks)
+        new_starts = rep_starts + k * c
+        new_lens = np.minimum(c, rep_lens - k * c)
+        return TokenDataset(self.tokens, new_starts, new_lens)
 
     @staticmethod
     def concatenate(parts: Sequence["TokenDataset"]) -> "TokenDataset":
-        tokens = np.concatenate([p.tokens for p in parts]) if parts else np.empty(0, np.int32)
-        offsets = [np.zeros(1, np.int64)]
-        base = 0
-        for p in parts:
-            offsets.append(p.offsets[1:] + base)
-            base += p.num_tokens
-        return TokenDataset(tokens, np.concatenate(offsets))
+        parts = list(parts)
+        if not parts:
+            return TokenDataset(np.empty(0, np.int32), np.empty(0, np.int64),
+                                np.empty(0, np.int64))
+        first_buf = parts[0].tokens
+        if all(p.tokens is first_buf for p in parts):
+            # repeat()/select() family: same buffer, concat the views
+            return TokenDataset(first_buf,
+                                np.concatenate([p.starts for p in parts]),
+                                np.concatenate([p.lengths for p in parts]))
+        tokens = np.concatenate([_gather_ragged(p.tokens, p.starts, p.lengths)
+                                 for p in parts])
+        lens = np.concatenate([p.lengths for p in parts])
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return TokenDataset(tokens, offsets[:-1], lens)
 
     def repeat(self, n: int) -> "TokenDataset":
         """n-fold concat (the reference's per-dataset `repetitions`,
-        hf_dataset.py:46-48)."""
-        return TokenDataset.concatenate([self] * n) if n > 1 else self
+        hf_dataset.py:46-48) — a tiled view, zero token copies."""
+        if n <= 1:
+            return self
+        return TokenDataset(self.tokens, np.tile(self.starts, n),
+                            np.tile(self.lengths, n))
 
     # -- persistence (the reference's saved_ds_path cache, hf_dataset.py:30-32,57-59)
     def save(self, path: str):
+        """Write compacted storage: raw int32 tokens.bin (memmapped on load)
+        + offsets.npy. Streams slab-wise — bounded RSS for huge views."""
         os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "token_dataset.npz"),
-                 tokens=self.tokens, offsets=self.offsets)
+        with open(os.path.join(path, "tokens.bin"), "wb") as f:
+            for lo in range(0, len(self), _SLAB):
+                sl = slice(lo, lo + _SLAB)
+                f.write(_gather_ragged(self.tokens, self.starts[sl],
+                                       self.lengths[sl]).tobytes())
+        np.save(os.path.join(path, "offsets.npy"), self.offsets)
 
     @classmethod
     def load(cls, path: str) -> "TokenDataset":
-        z = np.load(os.path.join(path, "token_dataset.npz"))
-        return cls(z["tokens"], z["offsets"])
+        legacy = os.path.join(path, "token_dataset.npz")
+        if os.path.exists(legacy):  # round-1 cache format
+            z = np.load(legacy)
+            return cls.from_offsets(z["tokens"], z["offsets"])
+        offsets = np.load(os.path.join(path, "offsets.npy"))
+        n = int(offsets[-1]) if len(offsets) else 0
+        bin_path = os.path.join(path, "tokens.bin")
+        tokens = (np.memmap(bin_path, dtype=np.int32, mode="r", shape=(n,))
+                  if n else np.empty(0, np.int32))
+        return cls.from_offsets(tokens, offsets)
 
     def token_stats(self) -> dict:
         """Reference get_token_stats (hf_dataset.py:121-125)."""
@@ -142,6 +204,72 @@ class TokenDataset:
         return {"sum": int(lens.sum()), "len_ds": len(self),
                 "mean": float(lens.mean()) if len(self) else 0.0,
                 "var": float(lens.var()) if len(self) else 0.0}
+
+
+# --------------------------------------------------------------------------- #
+# streaming construction (bounded RSS)
+# --------------------------------------------------------------------------- #
+class TokenWriter:
+    """Append token sequences; past `spill_tokens` the buffer moves to a disk
+    file and the finished dataset memmaps it (the RAM spike of Libri-light-
+    scale corpora — VERDICT round 1 — never happens). Temp spill files are
+    unlinked right after mapping, so the space frees itself with the process."""
+
+    def __init__(self, spill_tokens: int = DEFAULT_SPILL_TOKENS,
+                 spill_dir: Optional[str] = None):
+        self.spill_tokens = int(spill_tokens)
+        self.spill_dir = spill_dir
+        self._parts: List[np.ndarray] = []
+        self._buffered = 0
+        self._total = 0
+        self._lens: List[int] = []
+        self._file = None
+        self._path: Optional[str] = None
+
+    def append(self, seq) -> None:
+        a = np.asarray(seq, dtype=np.int32).ravel()
+        self._lens.append(int(a.size))
+        self._parts.append(a)
+        self._buffered += a.size
+        self._total += a.size
+        if self._file is None:
+            if self._total > self.spill_tokens:
+                self._start_spill()
+        elif self._buffered >= (8 << 20):
+            self._flush()
+
+    def _start_spill(self) -> None:
+        if self.spill_dir:
+            os.makedirs(self.spill_dir, exist_ok=True)
+        fd, self._path = tempfile.mkstemp(suffix=".tokens.bin",
+                                          dir=self.spill_dir)
+        self._file = os.fdopen(fd, "wb")
+        logger.info("Token buffer passed %d tokens; spilling to %s",
+                    self.spill_tokens, self._path)
+        self._flush()
+
+    def _flush(self) -> None:
+        for part in self._parts:
+            self._file.write(part.tobytes())
+        self._parts = []
+        self._buffered = 0
+
+    def finish(self) -> TokenDataset:
+        lens = np.asarray(self._lens, dtype=np.int64)
+        starts = np.cumsum(lens) - lens
+        if self._file is not None:
+            self._flush()
+            self._file.close()
+            tokens = np.memmap(self._path, dtype=np.int32, mode="r",
+                               shape=(self._total,)) if self._total else \
+                np.empty(0, np.int32)
+            os.unlink(self._path)  # mapping stays valid; space frees on exit
+        elif self._parts:
+            tokens = np.concatenate(self._parts)
+        else:
+            tokens = np.empty(0, np.int32)
+        self._parts, self._file = [], None
+        return TokenDataset(tokens, starts, lens)
 
 
 # --------------------------------------------------------------------------- #
@@ -163,67 +291,122 @@ def load_jsonl_rows(path_glob: str) -> Iterator[dict]:
                     yield json.loads(line)
 
 
-def load_token_dataset(path_glob: str, tokeniser) -> TokenDataset:
+def load_token_dataset(path_glob: str, tokeniser,
+                       spill_tokens: int = DEFAULT_SPILL_TOKENS,
+                       spill_dir: Optional[str] = None) -> TokenDataset:
     """jsonl rows -> prepare_sample -> TokenDataset
-    (reference parse_single_dataset, hf_dataset.py:93-97)."""
-    seqs = [tokeniser.prepare_sample(row)["input_ids"]
-            for row in load_jsonl_rows(path_glob)]
-    # prepare_sample may return a [1, T] batch for a single string
-    seqs = [s[0] if (len(s) and isinstance(s[0], (list, np.ndarray))) else s
-            for s in seqs]
-    return TokenDataset.from_lists(seqs)
+    (reference parse_single_dataset, hf_dataset.py:93-97). Streams: rows are
+    tokenised one at a time into a TokenWriter, never a Python list of lists."""
+    writer = TokenWriter(spill_tokens=spill_tokens, spill_dir=spill_dir)
+    for row in load_jsonl_rows(path_glob):
+        ids = tokeniser.prepare_sample(row)["input_ids"]
+        # prepare_sample may return a [1, T] batch for a single string
+        if len(ids) and isinstance(ids[0], (list, np.ndarray)):
+            ids = ids[0]
+        writer.append(ids)
+    return writer.finish()
 
 
 # --------------------------------------------------------------------------- #
 # multi-corpus interleaving
 # --------------------------------------------------------------------------- #
+def _materialize_picks(datasets: Sequence[TokenDataset], src: np.ndarray,
+                       idx: np.ndarray) -> TokenDataset:
+    """Build one contiguous dataset from (source, row) picks. Vectorized per
+    source: gather each source's token ranges and scatter them to the pick
+    positions in the output buffer."""
+    n = len(src)
+    lens = np.empty(n, dtype=np.int64)
+    for s, d in enumerate(datasets):
+        m = src == s
+        if m.any():
+            lens[m] = d.lengths[idx[m]]
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    tokens = np.empty(int(out_offsets[-1]), dtype=np.int32)
+    for s, d in enumerate(datasets):
+        m = src == s
+        if not m.any():
+            continue
+        src_starts = d.starts[idx[m]]
+        seq_lens = lens[m]
+        r = _ranges(seq_lens)
+        src_idx = np.repeat(src_starts, seq_lens) + r
+        dst_idx = np.repeat(out_offsets[:-1][m], seq_lens) + r
+        tokens[dst_idx] = d.tokens[src_idx]
+    return TokenDataset(tokens, out_offsets[:-1], lens)
+
+
 def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
                stopping_strategy: str = "first_exhausted", seed: int = 0) -> TokenDataset:
     """Sample-with-probabilities mixing of several corpora, matching HF
     interleave_datasets semantics (reference hf_dataset.py:49-50): draw a
-    source per output row until the first (or last) source is exhausted."""
+    source per output row until the first (or last) source is exhausted.
+
+    first_exhausted (the default/scale path) is fully vectorized per draw
+    block; all_exhausted keeps a per-draw loop for its cursor-restart
+    semantics. Token materialization is vectorized for both."""
     if len(datasets) != len(probabilities):
         raise ValueError("Number of train paths should match number of train ratios")
     rng = np.random.default_rng(seed)
     p = np.asarray(probabilities, dtype=np.float64)
     p = p / p.sum()
-    sizes = np.array([len(d) for d in datasets])
-    # draw sources in blocks until the stopping condition triggers
+    sizes = np.array([len(d) for d in datasets], dtype=np.int64)
+    block = int(max(4096, sizes.sum()))
+
+    if stopping_strategy == "first_exhausted":
+        base = np.zeros(len(datasets), dtype=np.int64)
+        src_parts, idx_parts = [], []
+        while True:
+            draws = rng.choice(len(datasets), size=block, p=p)
+            # occurrence index of each draw within its source, inside this block
+            order = np.argsort(draws, kind="stable")
+            sorted_src = draws[order]
+            group_counts = np.bincount(sorted_src, minlength=len(datasets))
+            nz = group_counts[group_counts > 0]
+            within = _ranges(nz)
+            occ = np.empty(block, dtype=np.int64)
+            occ[order] = within
+            idx = base[draws] + occ
+            over = idx >= sizes[draws]
+            if over.any():
+                stop = int(np.argmax(over))
+                src_parts.append(draws[:stop])
+                idx_parts.append(idx[:stop])
+                break
+            src_parts.append(draws)
+            idx_parts.append(idx)
+            base += np.bincount(draws, minlength=len(datasets))
+        src = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
+        idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+        return _materialize_picks(datasets, src, idx)
+
+    # all_exhausted: short corpora restart, so cursors wrap — per-draw loop
     cursors = np.zeros(len(datasets), dtype=np.int64)
-    # zero-probability sources can never exhaust by drawing — mark upfront
-    # so all_exhausted terminates
     exhausted = (p == 0) | (sizes == 0)
     picks: List[tuple] = []
-    block = int(max(4096, sizes.sum()))
     done = False
     while not done:
-        for src in rng.choice(len(datasets), size=block, p=p):
-            if sizes[src] == 0:  # empty corpus: exhausts instantly, never picks
-                if stopping_strategy == "first_exhausted" or exhausted.all():
-                    done = True
-                    break
-                continue
-            if cursors[src] == sizes[src]:
-                exhausted[src] = True
-                if stopping_strategy == "first_exhausted":
-                    done = True
-                    break
+        for src_i in rng.choice(len(datasets), size=block, p=p):
+            if sizes[src_i] == 0:  # empty corpus: exhausts instantly, never picks
                 if exhausted.all():
                     done = True
                     break
-                cursors[src] = 0  # all_exhausted: restart the short corpus
-            picks.append((src, cursors[src]))
-            cursors[src] += 1
+                continue
+            if cursors[src_i] == sizes[src_i]:
+                exhausted[src_i] = True
+                if exhausted.all():
+                    done = True
+                    break
+                cursors[src_i] = 0  # restart the short corpus
+            picks.append((src_i, cursors[src_i]))
+            cursors[src_i] += 1
         else:
             continue
         break
-    lens = np.array([datasets[s].lengths[i] for s, i in picks], dtype=np.int64)
-    offsets = np.zeros(len(picks) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    tokens = np.empty(int(offsets[-1]), dtype=np.int32)
-    for j, (s, i) in enumerate(picks):
-        tokens[offsets[j]:offsets[j + 1]] = datasets[s][int(i)]
-    return TokenDataset(tokens, offsets)
+    src = np.fromiter((s for s, _ in picks), dtype=np.int64, count=len(picks))
+    idx = np.fromiter((i for _, i in picks), dtype=np.int64, count=len(picks))
+    return _materialize_picks(datasets, src, idx)
 
 
 # --------------------------------------------------------------------------- #
@@ -231,9 +414,12 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
 # --------------------------------------------------------------------------- #
 def parse_single_dataset(cfg, tokeniser, train_path: str,
                          val_path: Optional[str] = None) -> Dict[str, TokenDataset]:
-    ds = {"train": load_token_dataset(train_path, tokeniser)}
+    spill = int(cfg.data.get("spill_tokens", DEFAULT_SPILL_TOKENS)
+                or DEFAULT_SPILL_TOKENS)
+    ds = {"train": load_token_dataset(train_path, tokeniser, spill_tokens=spill)}
     if val_path is not None:
-        ds["validation"] = load_token_dataset(val_path, tokeniser)
+        ds["validation"] = load_token_dataset(val_path, tokeniser,
+                                              spill_tokens=spill)
 
     if cfg.data.get("sample_units_max_length", None):
         ds["train"] = ds["train"].filter_by_length(max_len=cfg.data.sample_units_max_length)
@@ -251,7 +437,7 @@ def parse_single_dataset(cfg, tokeniser, train_path: str,
 def init_dataset(cfg, tokeniser) -> Dict[str, TokenDataset]:
     """Build {'train', 'validation'} TokenDatasets from the composed config
     (reference init_dataset, hf_dataset.py:29-66). Collation is not returned —
-    batching is the PackedBatcher's job (fixed TPU shapes)."""
+    batching is the Batcher's job (fixed TPU shapes)."""
     saved = cfg.data.get("saved_ds_path", None)
     if saved and os.path.isdir(saved):
         logger.info("Loading dataset from %s", saved)
@@ -303,8 +489,29 @@ def init_dataset(cfg, tokeniser) -> Dict[str, TokenDataset]:
 # --------------------------------------------------------------------------- #
 # batching
 # --------------------------------------------------------------------------- #
+def _assemble_packed(ds: TokenDataset, sel: np.ndarray, rows: np.ndarray,
+                     cols: np.ndarray, segs: np.ndarray, lens: np.ndarray,
+                     buffers: Dict[str, np.ndarray]) -> None:
+    """Vectorized scatter of sequences into a [B, T] batch. rows are
+    batch-local. Mutates the buffers in place."""
+    T = buffers["input_ids"].shape[1]
+    seq_starts = ds.starts[sel]
+    r = _ranges(lens)
+    src_idx = np.repeat(seq_starts, lens) + r
+    dst_idx = np.repeat(rows * T + cols, lens) + r
+    toks = np.asarray(ds.tokens[src_idx], dtype=np.int32)
+    buffers["input_ids"].reshape(-1)[dst_idx] = toks
+    labels = buffers["labels"].reshape(-1)
+    labels[dst_idx] = toks
+    labels[rows * T + cols] = IGNORE_INDEX  # segment boundary: no cross-doc label
+    buffers["segment_ids"].reshape(-1)[dst_idx] = np.repeat(
+        segs.astype(np.int32), lens)
+    buffers["positions"].reshape(-1)[dst_idx] = r.astype(np.int32)
+
+
 def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
-                   batch_size: int, pad_id: int) -> Iterator[Dict[str, np.ndarray]]:
+                   batch_size: int, pad_id: int,
+                   skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Greedy sequential packing of whole sequences into [B, context_len] rows.
 
     The TPU replacement for DataCollatorWithFlattening (reference
@@ -312,82 +519,123 @@ def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
     fixed rows with segment_ids (-1 = pad) and per-segment positions. Labels
     mask the first token of every segment with -100 (no cross-document
     prediction) and all padding.
+
+    Runs slab-wise: the greedy row assignment is the C++ recurrence
+    (native/pack.cpp), assembly is vectorized numpy — no per-sequence Python.
+    skip_batches skips the assembly (not the assignment) of the first k
+    batches, making resume fast-forward cheap.
     """
+    from ..native.pack import greedy_pack
+
     B, T = batch_size, context_len
-    input_ids = np.full((B, T), pad_id, np.int32)
-    labels = np.full((B, T), IGNORE_INDEX, np.int32)
-    segment_ids = np.full((B, T), -1, np.int32)
-    positions = np.zeros((B, T), np.int32)
-    row, col, seg = 0, 0, 0
+    order = np.asarray(order, dtype=np.int64)
 
-    def flush():
-        return {"input_ids": input_ids.copy(), "labels": labels.copy(),
-                "segment_ids": segment_ids.copy(), "positions": positions.copy(),
-                "num_items_in_batch": np.int32((labels != IGNORE_INDEX).sum())}
+    def fresh():
+        return {"input_ids": np.full((B, T), pad_id, np.int32),
+                "labels": np.full((B, T), IGNORE_INDEX, np.int32),
+                "segment_ids": np.full((B, T), -1, np.int32),
+                "positions": np.zeros((B, T), np.int32)}
 
-    for i in order:
-        seq = ds[int(i)]
-        n = len(seq)
-        if n > T:
-            seq, n = seq[:T], T  # over-long sequences are pre-chunked upstream
-        if col + n > T:
-            row, col, seg = row + 1, 0, 0
-            if row == B:
-                yield flush()
-                input_ids[:] = pad_id
-                labels[:] = IGNORE_INDEX
-                segment_ids[:] = -1
-                positions[:] = 0
-                row = 0
-        input_ids[row, col:col + n] = seq
-        labels[row, col:col + n] = seq
-        labels[row, col] = IGNORE_INDEX  # segment boundary: no cross-doc label
-        segment_ids[row, col:col + n] = seg
-        positions[row, col:col + n] = np.arange(n, dtype=np.int32)
-        col += n
-        seg += 1
-    if row or col:
-        yield flush()
+    def finalize(buffers):
+        buffers["num_items_in_batch"] = np.int32(
+            (buffers["labels"] != IGNORE_INDEX).sum())
+        return buffers
+
+    buffers = fresh()
+    cur_batch = 0
+    dirty = False  # anything placed into `buffers` since the last yield
+    row_carry, col_carry = 0, -1  # -1: first sequence always starts row 0
+    seg_carry = 0  # segments already in the row being continued
+    last_row = -1
+
+    for lo in range(0, len(order), _SLAB):
+        sel = order[lo:lo + _SLAB]
+        lens = np.minimum(ds.lengths[sel], T)
+        nonzero = lens > 0  # zero-length rows place nothing
+        sel, lens = sel[nonzero], lens[nonzero]
+        if len(sel) == 0:
+            continue
+        if col_carry < 0:
+            col_carry = T  # force the first sequence to open row 0 cleanly
+            row_carry = -1
+        rows, cols, row_carry, col_carry = greedy_pack(
+            lens, T, row_carry, col_carry)
+        # per-row segment counter (continues across slabs within a row)
+        first_of_row = np.r_[True, rows[1:] != rows[:-1]]
+        row_group_start = np.maximum.accumulate(
+            np.where(first_of_row, np.arange(len(rows)), 0))
+        segs = np.arange(len(rows)) - row_group_start
+        if rows[0] == last_row:
+            segs[rows == last_row] += seg_carry
+        last_row = int(rows[-1])
+        seg_carry = int(segs[rows == last_row][-1]) + 1
+
+        batch_ids = rows // B
+        # emit every completed batch inside this slab
+        b_lo = 0
+        while b_lo < len(rows):
+            b = int(batch_ids[b_lo])
+            b_hi = int(np.searchsorted(batch_ids, b + 1))
+            if b != cur_batch:
+                if dirty and cur_batch >= skip_batches:
+                    yield finalize(buffers)
+                    buffers = fresh()
+                cur_batch, dirty = b, False
+            if b >= skip_batches:
+                _assemble_packed(ds, sel[b_lo:b_hi], rows[b_lo:b_hi] - b * B,
+                                 cols[b_lo:b_hi], segs[b_lo:b_hi],
+                                 lens[b_lo:b_hi], buffers)
+            dirty = True
+            b_lo = b_hi
+    if dirty and cur_batch >= skip_batches:
+        yield finalize(buffers)
 
 
 def pad_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
-                  batch_size: int, pad_id: int,
-                  drop_last: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+                  batch_size: int, pad_id: int, drop_last: bool = False,
+                  skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """One sequence per row, padded to the static context_len
     (the reference's DataCollatorForLanguageModeling(mlm=False) path,
-    hf_dataset.py:63-64 — pads get label -100)."""
+    hf_dataset.py:63-64 — pads get label -100). Vectorized per batch."""
     B, T = batch_size, context_len
-    for start in range(0, len(order), B):
+    order = np.asarray(order, dtype=np.int64)
+    for b, start in enumerate(range(0, len(order), B)):
         idx = order[start:start + B]
         if len(idx) < B and drop_last:
             return
+        if b < skip_batches:
+            continue
         input_ids = np.full((B, T), pad_id, np.int32)
         labels = np.full((B, T), IGNORE_INDEX, np.int32)
         segment_ids = np.full((B, T), -1, np.int32)
         positions = np.zeros((B, T), np.int32)
-        for r, i in enumerate(idx):
-            seq = ds[int(i)][:T]
-            n = len(seq)
-            input_ids[r, :n] = seq
-            labels[r, :n] = seq
-            segment_ids[r, :n] = 0
-            positions[r, :n] = np.arange(n, dtype=np.int32)
+        lens = np.minimum(ds.lengths[idx], T)
+        r = _ranges(lens)
+        src_idx = np.repeat(ds.starts[idx], lens) + r
+        dst_idx = np.repeat(np.arange(len(idx), dtype=np.int64) * T, lens) + r
+        toks = np.asarray(ds.tokens[src_idx], dtype=np.int32)
+        input_ids.reshape(-1)[dst_idx] = toks
+        labels.reshape(-1)[dst_idx] = toks
+        segment_ids.reshape(-1)[dst_idx] = 0
+        positions.reshape(-1)[dst_idx] = r.astype(np.int32)
         yield {"input_ids": input_ids, "labels": labels,
                "segment_ids": segment_ids, "positions": positions,
                "num_items_in_batch": np.int32((labels != IGNORE_INDEX).sum())}
 
 
 class Batcher:
-    """Epoch-shuffled batch stream with multi-host sharding.
+    """Epoch-shuffled batch stream of the GLOBAL batch.
 
-    Each process sees batches b with b % process_count == process_index
-    (host-side data sharding, SURVEY.md §5.8). Deterministic given (seed,
-    epoch) so resume can fast-forward by batch index.
+    Every process iterates the identical stream (shuffle is deterministic in
+    (seed, epoch)); multihost row-sharding happens once, at device_put time in
+    the trainer — there is deliberately NO second process-modulo mechanism
+    here (VERDICT round 1 item 9). Deterministic so resume can fast-forward
+    by batch index.
     """
 
     def __init__(self, ds: TokenDataset, batch_size: int, context_len: int,
                  pad_id: int, packing: bool = False, shuffle: bool = True,
-                 seed: int = 0, process_index: int = 0, process_count: int = 1):
+                 seed: int = 0):
         self.ds = ds
         self.batch_size = batch_size
         self.context_len = context_len
@@ -395,24 +643,26 @@ class Batcher:
         self.packing = packing
         self.shuffle = shuffle
         self.seed = seed
-        self.process_index = process_index
-        self.process_count = process_count
 
-    def epoch(self, epoch: int = 0, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def _order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        return order
+
+    def epoch(self, epoch: int = 0, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         gen = (pack_into_rows if self.packing else pad_into_rows)(
-            self.ds, order, self.context_len, self.batch_size, self.pad_id)
-        for b, batch in enumerate(gen):
-            if b % self.process_count != self.process_index:
-                continue
-            if b // self.process_count < skip_batches:
-                continue
-            yield batch
+            self.ds, self._order(epoch), self.context_len, self.batch_size,
+            self.pad_id, skip_batches=skip_batches)
+        yield from gen
 
     def batches_per_epoch(self) -> int:
         if self.packing:
-            return sum(1 for _ in self.epoch(0))  # exact count via a dry pass
-        n = (len(self.ds) + self.batch_size - 1) // self.batch_size
-        return (n + self.process_count - 1 - self.process_index) // self.process_count
+            from ..native.pack import greedy_pack_count
+
+            # exact, via the O(rows) greedy recurrence — no batch assembly.
+            # The row count depends on the order, so use epoch 0's.
+            lens = np.minimum(self.ds.lengths[self._order(0)], self.context_len)
+            n_rows = greedy_pack_count(lens, self.context_len)
+            return (n_rows + self.batch_size - 1) // self.batch_size
+        return (len(self.ds) + self.batch_size - 1) // self.batch_size

@@ -117,14 +117,170 @@ def test_pad_into_rows_static_shape():
     assert batches[1]["segment_ids"][1].tolist() == [-1, -1, -1, -1]
 
 
-def test_batcher_process_sharding():
+def test_batcher_stream_is_global():
+    # ONE multihost sharding mechanism: every process sees the identical
+    # global stream; the trainer row-shards at device_put (VERDICT r1 item 9)
     ds = make_ds([[i] for i in range(40)])
-    all_b = list(Batcher(ds, 2, 4, 0, shuffle=False).epoch(0))
-    p0 = list(Batcher(ds, 2, 4, 0, shuffle=False, process_index=0, process_count=2).epoch(0))
-    p1 = list(Batcher(ds, 2, 4, 0, shuffle=False, process_index=1, process_count=2).epoch(0))
-    assert len(p0) + len(p1) == len(all_b)
-    assert np.array_equal(p0[0]["input_ids"], all_b[0]["input_ids"])
-    assert np.array_equal(p1[0]["input_ids"], all_b[1]["input_ids"])
+    a = list(Batcher(ds, 2, 4, 0, shuffle=True, seed=7).epoch(0))
+    b = list(Batcher(ds, 2, 4, 0, shuffle=True, seed=7).epoch(0))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x["input_ids"], y["input_ids"])
+
+
+def _naive_pack(ds, order, T, B, pad_id):
+    """Reference greedy packer (the round-1 per-sequence loop) used as the
+    oracle for the vectorized/native implementation."""
+    input_ids = np.full((B, T), pad_id, np.int32)
+    labels = np.full((B, T), IGNORE_INDEX, np.int32)
+    segment_ids = np.full((B, T), -1, np.int32)
+    positions = np.zeros((B, T), np.int32)
+    row, col, seg = 0, 0, 0
+    out = []
+
+    def flush():
+        out.append({"input_ids": input_ids.copy(), "labels": labels.copy(),
+                    "segment_ids": segment_ids.copy(),
+                    "positions": positions.copy()})
+
+    for i in order:
+        seq = ds[int(i)]
+        n = len(seq)
+        if n == 0:
+            continue
+        if n > T:
+            seq, n = seq[:T], T
+        if col + n > T:
+            row, col, seg = row + 1, 0, 0
+            if row == B:
+                flush()
+                input_ids[:] = pad_id
+                labels[:] = IGNORE_INDEX
+                segment_ids[:] = -1
+                positions[:] = 0
+                row = 0
+        input_ids[row, col:col + n] = seq
+        labels[row, col:col + n] = seq
+        labels[row, col] = IGNORE_INDEX
+        segment_ids[row, col:col + n] = seg
+        positions[row, col:col + n] = np.arange(n, dtype=np.int32)
+        col += n
+        seg += 1
+    if row or col:
+        flush()
+    return out
+
+
+@pytest.mark.parametrize("T,B", [(16, 2), (8, 3), (32, 1)])
+def test_pack_vectorized_matches_naive(T, B):
+    rng = np.random.default_rng(0)
+    ds = make_ds([rng.integers(1, 100, size=rng.integers(1, 40)).tolist()
+                  for _ in range(200)])
+    order = rng.permutation(len(ds))
+    got = list(pack_into_rows(ds, order, T, B, pad_id=0))
+    want = _naive_pack(ds, order, T, B, pad_id=0)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for k in ("input_ids", "labels", "segment_ids", "positions"):
+            assert np.array_equal(g[k], w[k]), k
+        assert int(g["num_items_in_batch"]) == (w["labels"] != IGNORE_INDEX).sum()
+
+
+def test_pack_slab_boundaries(monkeypatch):
+    # rows and batches spanning slab boundaries must assemble identically
+    import slamkit_tpu.data.dataset as dsmod
+    rng = np.random.default_rng(1)
+    ds = make_ds([rng.integers(1, 50, size=rng.integers(1, 7)).tolist()
+                  for _ in range(300)])
+    order = rng.permutation(len(ds))
+    want = list(pack_into_rows(ds, order, 16, 4, pad_id=0))
+    monkeypatch.setattr(dsmod, "_SLAB", 17)  # force many tiny slabs
+    got = list(pack_into_rows(ds, order, 16, 4, pad_id=0))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for k in ("input_ids", "labels", "segment_ids", "positions"):
+            assert np.array_equal(g[k], w[k]), k
+
+
+def test_pack_skip_batches_matches_slicing():
+    rng = np.random.default_rng(2)
+    ds = make_ds([rng.integers(1, 9, size=rng.integers(1, 6)).tolist()
+                  for _ in range(100)])
+    order = np.arange(len(ds))
+    full = list(pack_into_rows(ds, order, 8, 2, pad_id=0))
+    skipped = list(pack_into_rows(ds, order, 8, 2, pad_id=0, skip_batches=3))
+    assert len(skipped) == len(full) - 3
+    for g, w in zip(skipped, full[3:]):
+        assert np.array_equal(g["input_ids"], w["input_ids"])
+
+
+def test_batches_per_epoch_no_dry_pass():
+    rng = np.random.default_rng(3)
+    ds = make_ds([rng.integers(1, 9, size=rng.integers(1, 6)).tolist()
+                  for _ in range(64)])
+    for packing in (True, False):
+        b = Batcher(ds, 2, 8, 0, packing=packing, shuffle=True, seed=5)
+        assert b.batches_per_epoch() == len(list(b.epoch(0)))
+
+
+def test_views_share_buffer_and_memmap(tmp_path):
+    ds = make_ds([list(range(10)), list(range(3)), [7] * 20])
+    chunked = ds.chunk(4)
+    assert chunked.tokens is ds.tokens  # zero-copy
+    assert chunked.select([0, 2]).tokens is ds.tokens
+    assert ds.repeat(3).tokens is ds.tokens
+    ds.save(str(tmp_path / "ds"))
+    back = TokenDataset.load(str(tmp_path / "ds"))
+    assert isinstance(back.tokens, np.memmap)
+    for i in range(len(ds)):
+        assert back[i].tolist() == ds[i].tolist()
+    # a view saved+loaded round-trips its logical content
+    chunked.save(str(tmp_path / "ch"))
+    back2 = TokenDataset.load(str(tmp_path / "ch"))
+    assert [back2[i].tolist() for i in range(len(back2))] == \
+           [chunked[i].tolist() for i in range(len(chunked))]
+
+
+def test_token_writer_spill_path(tmp_path):
+    from slamkit_tpu.data.dataset import TokenWriter
+    rng = np.random.default_rng(4)
+    seqs = [rng.integers(0, 100, size=rng.integers(1, 50)).tolist()
+            for _ in range(200)]
+    w = TokenWriter(spill_tokens=64, spill_dir=str(tmp_path))  # tiny: force spill
+    for s in seqs:
+        w.append(s)
+    ds = w.finish()
+    assert isinstance(ds.tokens, np.memmap)
+    assert len(ds) == len(seqs)
+    for i, s in enumerate(seqs):
+        assert ds[i].tolist() == s
+    # spill file was unlinked after mapping (space frees with the process)
+    assert not any(f.endswith(".tokens.bin") for f in map(str, tmp_path.iterdir()))
+
+
+def test_bounded_rss_big_corpus(tmp_path):
+    # ~40M tokens streamed through the writer with a small spill threshold:
+    # peak python-side allocation stays near the slab size, not the corpus
+    from slamkit_tpu.data.dataset import TokenWriter
+    rng = np.random.default_rng(5)
+    w = TokenWriter(spill_tokens=1 << 20, spill_dir=str(tmp_path))
+    n_rows, row_len = 40_000, 1000
+    chunkbuf = rng.integers(0, 500, size=row_len * 64, dtype=np.int32)
+    for i in range(n_rows):
+        lo = (i * 37) % (len(chunkbuf) - row_len)
+        w.append(chunkbuf[lo:lo + row_len])
+    ds = w.finish()
+    assert ds.num_tokens == n_rows * row_len
+    assert isinstance(ds.tokens, np.memmap)
+    # chunk + filter + shuffle-pack one epoch slab without materializing
+    ch = ds.chunk(256)
+    assert ch.tokens is ds.tokens
+    batches = 0
+    for b in Batcher(ch, 8, 256, 0, packing=True, shuffle=True).epoch(0):
+        batches += 1
+        if batches >= 5:
+            break
+    assert batches == 5
 
 
 def test_batcher_resume_skip():
