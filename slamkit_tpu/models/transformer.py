@@ -277,7 +277,9 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
         attn = jnp.einsum("bkgt,bktd->bkgd", probs, v)
         attn = attn.reshape(b_, cfg.num_heads, 1, dh)
     else:
-        if groups > 1:
+        if groups > 1 and not _use_flash(cfg):
+            # the Pallas kernel is GQA-native (kv groups fold into its matmul
+            # M panel); only the XLA reference path needs materialised heads
             k = jnp.repeat(k, groups, axis=1)
             v = jnp.repeat(v, groups, axis=1)
         # training or prefill: attend within the current window (the window IS

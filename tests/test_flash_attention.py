@@ -103,3 +103,62 @@ def test_unaligned_seq_len_padding():
     out = FA(q, k, v, causal=True)
     ref = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 2), (6, 2), (4, 1)])
+def test_gqa_unrepeated_kv_matches_repeated(hq, hkv):
+    """GQA-native path: un-repeated [B, Hkv, T, D] k/v must equal the
+    reference run on kv-major repeat_interleave'd heads (fwd + grads)."""
+    key = jax.random.PRNGKey(8)
+    ks = jax.random.split(key, 3)
+    b, t, d = 2, 256, 64
+    q = jax.random.normal(ks[0], (b, hq, t, d)) * 0.3
+    k = jax.random.normal(ks[1], (b, hkv, t, d)) * 0.3
+    v = jax.random.normal(ks[2], (b, hkv, t, d)) * 0.3
+    groups = hq // hkv
+    k_rep = jnp.repeat(k, groups, axis=1)
+    v_rep = jnp.repeat(v, groups, axis=1)
+    seg = jnp.asarray(np.repeat(np.arange(2), t // 2)[None].repeat(b, 0),
+                      jnp.int32)
+
+    out = FA(q, k, v, segment_ids=seg, causal=True)
+    ref = mha_reference(q, k_rep, v_rep, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    w = jnp.cos(jnp.arange(float(d)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True) * w)
+
+    def loss_ref(q, k, v):
+        kr = jnp.repeat(k, groups, axis=1)
+        vr = jnp.repeat(v, groups, axis=1)
+        return jnp.sum(mha_reference(q, kr, vr, segment_ids=seg, causal=True) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=5e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_multi_k_block_dq_partials():
+    """nK > 1 exercises the f32 dQ-partial sum across k blocks."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, 2, 512, 64)
+    seg = jnp.asarray(np.repeat(np.arange(4), 128)[None], jnp.int32)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, segment_ids=seg, causal=True,
+                          block_q=128, block_k=128) ** 2)
+
+    out = FA(q, k, v, segment_ids=seg, causal=True, block_q=128, block_k=128)
+    ref = mha_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+    g_flash = jax.grad(functools.partial(loss, FA), argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, segment_ids=seg, causal=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=5e-4)
