@@ -101,8 +101,9 @@ def tp_specs_for_decoder(mesh: Mesh, axis: str = "model") -> dict:
 
 def tp_shardings(params, mesh: Mesh, axis: str = "model",
                  data_axis: str = "data", fsdp: bool = False):
-    """NamedSharding pytree for tensor parallelism (optionally combined with
-    fsdp over the data axis on the remaining dims)."""
+    """NamedSharding pytree for tensor parallelism, optionally combined with
+    ZeRO-3 fsdp: after the Megatron spec claims its dim, the largest
+    remaining divisible dim is sharded over the data axis."""
     specs = tp_specs_for_decoder(mesh, axis)
 
     def resolve(path, leaf):
@@ -118,9 +119,52 @@ def tp_shardings(params, mesh: Mesh, axis: str = "model",
         for i, d in enumerate(dims):
             if d is not None and leaf.shape[i] % mesh.shape[d] != 0:
                 dims[i] = None
+        if fsdp:
+            n = mesh.shape[data_axis]
+            free = [i for i, d in enumerate(dims) if d is None]
+            for i in sorted(free, key=lambda i: -leaf.shape[i]):
+                if leaf.shape[i] % n == 0 and leaf.shape[i] >= n:
+                    dims[i] = data_axis
+                    break
         return NamedSharding(mesh, P(*dims))
 
     return jax.tree_util.tree_map_with_path(resolve, params)
+
+
+def _path_keys(path) -> tuple:
+    keys = []
+    for p in path:
+        k = getattr(p, "key", None)
+        if k is None:
+            k = getattr(p, "idx", None)
+        keys.append(str(k))
+    return tuple(keys)
+
+
+def opt_state_shardings(opt_state, params, param_shardings_tree, mesh: Mesh):
+    """Sharding pytree for an optax state: moment pytrees mirror the params
+    tree, so each array leaf is matched to its param by PATH SUFFIX (a shape
+    map would collapse same-shape params that carry different TP specs, e.g.
+    column-parallel q_w vs row-parallel o_w). Unmatched leaves (counts,
+    scalars) are replicated."""
+    by_path = {}
+    for (path, _), (_, sh) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0][0:],
+            jax.tree_util.tree_flatten_with_path(param_shardings_tree)[0]):
+        by_path[_path_keys(path)] = sh
+    rep = replicated(mesh)
+
+    def resolve(path, leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return rep
+        keys = _path_keys(path)
+        for start in range(len(keys)):
+            sh = by_path.get(keys[start:])
+            if sh is not None:
+                return sh
+        return rep
+
+    return jax.tree_util.tree_map_with_path(resolve, opt_state)
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -168,23 +168,24 @@ class SLAMTrainer:
             nll = token_nll(shift_logits, shift_labels) * valid
             return nll.sum(), valid.sum()
 
-        self._param_sh = param_shardings(self.model.params, mesh,
-                                         fsdp=bool(self.args.get("fsdp", False)))
+        fsdp = bool(self.args.get("fsdp", False))
+        tp = mesh.shape.get("model", 1) > 1
+        if tp:
+            # 2-D mesh: Megatron-style TP over 'model' (optionally + fsdp
+            # over 'data' on the remaining dims) — VERDICT.md item 7
+            from ..parallel.mesh import tp_shardings
+
+            self._param_sh = tp_shardings(self.model.params, mesh, fsdp=fsdp)
+        else:
+            self._param_sh = param_shardings(self.model.params, mesh, fsdp=fsdp)
         rep = replicated(mesh)
         opt_state = self.tx.init(self.model.params)
+        # moment pytrees mirror the params tree: match by path suffix (a
+        # shape map would collapse same-shape params with different TP specs)
+        from ..parallel.mesh import opt_state_shardings
 
-        # optimizer moments shard like their params (same shapes); scalars replicated
-        def opt_sharding(x):
-            if hasattr(x, "shape") and x.shape and x.shape in self._opt_shape_map:
-                return self._opt_shape_map[x.shape]
-            return rep
-
-        # map param shapes -> shardings (moments have identical shapes)
-        self._opt_shape_map = {}
-        for p, s in zip(jax.tree_util.tree_leaves(self.model.params),
-                        jax.tree_util.tree_leaves(self._param_sh)):
-            self._opt_shape_map[p.shape] = s
-        opt_sh = jax.tree_util.tree_map(opt_sharding, opt_state)
+        opt_sh = opt_state_shardings(opt_state, self.model.params,
+                                     self._param_sh, mesh)
         self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
 
         batch_sh = {k: NamedSharding(mesh, P(None, "data"))

@@ -248,3 +248,83 @@ def test_tp_shardings_forward_parity():
     got = jax.jit(lambda p, x: forward(p, cfg, x)[0],
                   in_shardings=(shardings, batch_sh))(sharded, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_tp_train_step_loss_parity(tmp_path):
+    """2-D (data=4, model=2) TP training must match the 1-D data-parallel run
+    step for step on the identical global batch stream (VERDICT.md item 7)."""
+    ref = SLAMTrainer(tiny_model(), train_args(tmp_path / "dp"), tiny_dataset(),
+                      context_len=32)
+    s_dp = ref.train()
+    tp = SLAMTrainer(tiny_model(),
+                     train_args(tmp_path / "tp", mesh_shape="[4,2]",
+                                per_device_train_batch_size=2),
+                     tiny_dataset(), context_len=32)
+    # the model axis is actually in play for the big matmul weights
+    leaves = tp.train_state["params"]["layers"]["up_w"].sharding
+    assert not leaves.is_fully_replicated
+    s_tp = tp.train()
+    l_dp = [r["loss"] for r in s_dp.log_history if "loss" in r]
+    l_tp = [r["loss"] for r in s_tp.log_history if "loss" in r]
+    assert len(l_dp) == len(l_tp) == 2
+    np.testing.assert_allclose(l_tp, l_dp, rtol=2e-4)
+
+
+def test_tp_fsdp_combined_shardings(tmp_path):
+    """mesh [4,2] + fsdp: TP claims the Megatron dim, ZeRO-3 shards a
+    remaining dim over 'data'; training still steps."""
+    tr = SLAMTrainer(tiny_model(),
+                     train_args(tmp_path, mesh_shape="[4,2]", fsdp="true",
+                                per_device_train_batch_size=2),
+                     tiny_dataset(), context_len=32)
+    spec = tr.train_state["params"]["layers"]["up_w"].sharding.spec
+    flat = [a for dim in spec if dim is not None
+            for a in (dim if isinstance(dim, tuple) else (dim,))]
+    assert "model" in flat and "data" in flat
+    state = tr.train()
+    assert state.global_step == 2
+    assert all(np.isfinite(r["loss"]) for r in state.log_history if "loss" in r)
+
+
+def test_adam_compact_matches_optax_in_f32():
+    """scale_by_adam_compact with f32 state must reproduce optax.scale_by_adam
+    exactly; in bf16 state it must stay close."""
+    import jax.numpy as jnp
+    import optax
+
+    from slamkit_tpu.trainer.optim import scale_by_adam_compact
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4) / 7.0, "b": jnp.ones((4,))}
+    grads = {"w": jnp.cos(jnp.arange(12.0)).reshape(3, 4), "b": jnp.full((4,), 0.3)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    got = scale_by_adam_compact(0.9, 0.999, 1e-8, jnp.float32)
+    s_ref, s_got = ref.init(params), got.init(params)
+    for _ in range(5):
+        u_ref, s_ref = ref.update(grads, s_ref)
+        u_got, s_got = got.update(grads, s_got)
+    for k in params:
+        np.testing.assert_allclose(u_got[k], u_ref[k], rtol=1e-6)
+
+    bf = scale_by_adam_compact(0.9, 0.999, 1e-8, jnp.bfloat16)
+    s_bf = bf.init(params)
+    for _ in range(5):
+        u_bf, s_bf = bf.update(grads, s_bf)
+    for k in params:
+        assert s_bf.mu[k].dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(u_bf[k], np.float32),
+                                   np.asarray(u_ref[k], np.float32),
+                                   rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("overrides", [
+    {"optim_state_dtype": "bfloat16"},
+    {"optim": "adafactor"},
+])
+def test_optimizer_variants_train(tmp_path, overrides):
+    """bf16 AdamW moments / adafactor: the 2-step train still runs and the
+    loss is finite (the states that unlock no-remat on 16G — VERDICT item 4)."""
+    tr = SLAMTrainer(tiny_model(), train_args(tmp_path, **overrides),
+                     tiny_dataset(), context_len=32)
+    state = tr.train()
+    assert state.global_step == 2
+    assert all(np.isfinite(r["loss"]) for r in state.log_history if "loss" in r)
