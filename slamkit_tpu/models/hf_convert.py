@@ -122,9 +122,17 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: DecoderConfig) -> dict:
             "embed": jnp.asarray(sd["model.decoder.embed_tokens.weight"], jnp.float32),
             "layers": layers,
             "pos_embed": jnp.asarray(sd["model.decoder.embed_positions.weight"], jnp.float32),
-            "final_norm_scale": jnp.asarray(sd["model.decoder.final_layer_norm.weight"], jnp.float32),
-            "final_norm_bias": jnp.asarray(sd["model.decoder.final_layer_norm.bias"], jnp.float32),
         }
+        if has("model.decoder.final_layer_norm.weight"):  # pre-norm OPTs only
+            params["final_norm_scale"] = jnp.asarray(
+                sd["model.decoder.final_layer_norm.weight"], jnp.float32)
+            params["final_norm_bias"] = jnp.asarray(
+                sd["model.decoder.final_layer_norm.bias"], jnp.float32)
+        if has("model.decoder.project_in.weight"):        # opt-350m family
+            params["proj_in_w"] = jnp.asarray(
+                sd["model.decoder.project_in.weight"], jnp.float32).T
+            params["proj_out_w"] = jnp.asarray(
+                sd["model.decoder.project_out.weight"], jnp.float32).T
         if not cfg.tie_word_embeddings:
             params["lm_head"] = jnp.asarray(sd["lm_head.weight"], jnp.float32).T
         return params
@@ -248,8 +256,12 @@ def export_hf_state_dict(params: dict, cfg: DecoderConfig) -> Dict[str, np.ndarr
             put(pre.format(i) + "fc2.bias", lp["down_b"][i])
         put("model.decoder.embed_tokens.weight", params["embed"])
         put("model.decoder.embed_positions.weight", params["pos_embed"])
-        put("model.decoder.final_layer_norm.weight", params["final_norm_scale"])
-        put("model.decoder.final_layer_norm.bias", params["final_norm_bias"])
+        if cfg.pre_norm:  # post-LN OPTs (opt-350m) have no top-level norm
+            put("model.decoder.final_layer_norm.weight", params["final_norm_scale"])
+            put("model.decoder.final_layer_norm.bias", params["final_norm_bias"])
+        if cfg.embed_proj_dim:
+            put("model.decoder.project_in.weight", params["proj_in_w"], transpose=True)
+            put("model.decoder.project_out.weight", params["proj_out_w"], transpose=True)
         if cfg.tie_word_embeddings:
             put("lm_head.weight", params["embed"])
         else:
@@ -277,9 +289,10 @@ def export_hf_checkpoint(params: dict, cfg: DecoderConfig, base_model_name: str,
             "model_type": "opt", "architectures": ["OPTForCausalLM"],
             "hidden_size": cfg.hidden_size, "num_hidden_layers": cfg.num_layers,
             "num_attention_heads": cfg.num_heads, "ffn_dim": cfg.intermediate_size,
-            "vocab_size": cfg.vocab_size, "word_embed_proj_dim": cfg.hidden_size,
+            "vocab_size": cfg.vocab_size,
+            "word_embed_proj_dim": cfg.embed_proj_dim or cfg.hidden_size,
             "max_position_embeddings": cfg.max_position_embeddings - 0,
-            "do_layer_norm_before": True, "activation_function": "relu",
+            "do_layer_norm_before": cfg.pre_norm, "activation_function": "relu",
             "tie_word_embeddings": cfg.tie_word_embeddings,
             "pad_token_id": 0, "bos_token_id": 1, "eos_token_id": 1,
             "torch_dtype": "float32",

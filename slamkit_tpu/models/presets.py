@@ -90,9 +90,12 @@ def config_from_hf_dict(hf: dict) -> dict:
     """Translate an HF config.json dict to DecoderConfig kwargs."""
     mt = hf.get("model_type")
     if mt == "opt":
-        if hf.get("word_embed_proj_dim", hf["hidden_size"]) != hf["hidden_size"]:
-            raise NotImplementedError("OPT word_embed_proj_dim != hidden_size (e.g. opt-350m) not supported yet")
+        proj = hf.get("word_embed_proj_dim", hf["hidden_size"])
         return dict(
+            embed_proj_dim=0 if proj == hf["hidden_size"] else proj,
+            # opt-350m: do_layer_norm_before=False -> post-LN blocks, no
+            # top-level final norm (HF OPTDecoder)
+            pre_norm=hf.get("do_layer_norm_before", True),
             hidden_size=hf["hidden_size"], num_layers=hf["num_hidden_layers"],
             num_heads=hf["num_attention_heads"], num_kv_heads=hf["num_attention_heads"],
             head_dim=hf["hidden_size"] // hf["num_attention_heads"],

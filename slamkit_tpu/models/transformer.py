@@ -49,6 +49,13 @@ class DecoderConfig:
     attn_out_bias: bool = False
     mlp_bias: bool = False
     norm_bias: bool = False          # layernorm bias (opt/neox: True)
+    # OPT-350m family: embeddings live at word_embed_proj_dim with
+    # project_in/project_out linears around the decoder stack (reference
+    # supports any AutoModelForCausalLM — unit_lm.py:94-102); 0 = hidden_size
+    embed_proj_dim: int = 0
+    # False = post-LN blocks (OPT do_layer_norm_before=False); the top-level
+    # final norm only exists for pre-norm models (HF OPT semantics)
+    pre_norm: bool = True
     tie_word_embeddings: bool = True
     norm_eps: float = 1e-6
     initializer_range: float = 0.02
@@ -119,17 +126,23 @@ def init_params(cfg: DecoderConfig, rng: jax.Array) -> dict:
     if cfg.norm == "layernorm" and cfg.norm_bias:
         layers.update(attn_norm_bias=jnp.zeros((L, D)), mlp_norm_bias=jnp.zeros((L, D)))
 
+    E = cfg.embed_proj_dim or D
     params = {
-        "embed": normal(k_embed, (cfg.vocab_size, D)),
+        "embed": normal(k_embed, (cfg.vocab_size, E)),
         "layers": layers,
-        "final_norm_scale": jnp.ones((D,)),
     }
-    if cfg.norm == "layernorm" and cfg.norm_bias:
-        params["final_norm_bias"] = jnp.zeros((D,))
+    if cfg.pre_norm:
+        params["final_norm_scale"] = jnp.ones((D,))
+        if cfg.norm == "layernorm" and cfg.norm_bias:
+            params["final_norm_bias"] = jnp.zeros((D,))
+    if cfg.embed_proj_dim:
+        kp1, kp2 = jax.random.split(k_head)
+        params["proj_in_w"] = normal(kp1, (E, D))
+        params["proj_out_w"] = normal(kp2, (D, E))
     if cfg.pos == "learned":
         params["pos_embed"] = normal(k_pos, (cfg.max_position_embeddings + cfg.learned_pos_offset, D))
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = normal(k_head, (D, cfg.vocab_size))
+        params["lm_head"] = normal(k_head, (E, cfg.vocab_size))
     return params
 
 
@@ -225,7 +238,11 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
     """One decoder block. cache_kv: optional (k, v) [B, Hkv, Tmax, Dh] to update
     at cache_index (decode); returns (out, new_cache_kv)."""
     dt = x.dtype
-    h = _norm(x, lp["attn_norm_scale"], lp.get("attn_norm_bias"), cfg)
+    # pre-norm: normalise the attention input; post-norm (OPT
+    # do_layer_norm_before=False): attend to the raw residual stream and
+    # normalise AFTER each residual add
+    h = (_norm(x, lp["attn_norm_scale"], lp.get("attn_norm_bias"), cfg)
+         if cfg.pre_norm else x)
 
     def proj(inp, w, b):
         y = jnp.einsum("btd,df->btf", inp, w.astype(dt))
@@ -295,10 +312,15 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
     if cfg.parallel_residual:
         h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
         out = x + attn_out + _mlp(h2, lp, cfg)
-    else:
+    elif cfg.pre_norm:
         x = x + attn_out
         h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
         out = x + _mlp(h2, lp, cfg)
+    else:  # post-LN (OPT-350m): norm(x + attn), then norm(x + mlp)
+        x = _norm(x + attn_out, lp["attn_norm_scale"],
+                  lp.get("attn_norm_bias"), cfg)
+        out = _norm(x + _mlp(x, lp, cfg), lp["mlp_norm_scale"],
+                    lp.get("mlp_norm_bias"), cfg)
     return out, new_cache
 
 
@@ -322,6 +344,10 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
 
     x = params["embed"][input_ids].astype(dt)
+    if cfg.embed_proj_dim:
+        # OPT-350m: project word_embed_proj_dim -> hidden BEFORE the learned
+        # positions are added (HF OPTDecoder order)
+        x = jnp.einsum("bte,ed->btd", x, params["proj_in_w"].astype(dt))
     if cfg.pos == "learned":
         # JAX gather CLAMPS out-of-range indices (torch raises) — overflowing
         # the position table would silently reuse the last row's embedding
@@ -366,7 +392,10 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
 
         x, new_cache = jax.lax.scan(body, x, (layer_params, cache[0], cache[1]))
 
-    x = _norm(x, params["final_norm_scale"], params.get("final_norm_bias"), cfg)
+    if cfg.pre_norm:
+        x = _norm(x, params["final_norm_scale"], params.get("final_norm_bias"), cfg)
+    if cfg.embed_proj_dim:
+        x = jnp.einsum("btd,de->bte", x, params["proj_out_w"].astype(x.dtype))
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum("btd,dv->btv", x.astype(jnp.float32), head.astype(jnp.float32))
     return logits, new_cache

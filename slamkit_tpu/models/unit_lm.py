@@ -56,6 +56,8 @@ class UnitLMConfig:
     attention_dropout: float = 0.0
     layerdrop: float = 0.0
     remat: bool = False
+    remat_policy: str = "full"    # full | qkv (save q/k/v + attn out)
+    remat_layers: int = -1        # checkpoint only the first N layers
 
     def decoder_config(self) -> DecoderConfig:
         attn_impl = {"flash_attention_2": "flash", None: "auto"}.get(
@@ -68,6 +70,8 @@ class UnitLMConfig:
             dtype=dtype,
             attn_impl=attn_impl,
             remat=self.remat or None,
+            remat_policy=self.remat_policy if self.remat_policy != "full" else None,
+            remat_layers=self.remat_layers if self.remat_layers != -1 else None,
         )
 
     def to_dict(self) -> dict:

@@ -195,3 +195,48 @@ def test_load_reference_format_checkpoint(tmp_path):
 
     got, _ = forward(model.params, model.decoder, ids.astype(np.int32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
+
+
+def test_opt_350m_style_parity():
+    """opt-350m shape: word_embed_proj_dim != hidden (project_in/out) AND
+    do_layer_norm_before=False (post-LN, no top-level final norm) — the
+    reference supports it via AutoModelForCausalLM (unit_lm.py:94-102)."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    hf_cfg = OPTConfig(
+        vocab_size=99, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=False, activation_function="relu",
+        word_embed_proj_dim=24, attn_implementation="eager")
+    model = OPTForCausalLM(hf_cfg)
+    cfg, params = _compare(model, {**hf_cfg.to_dict(), "model_type": "opt"})
+    assert cfg.embed_proj_dim == 24 and not cfg.pre_norm
+    assert params["embed"].shape == (99, 24)
+    assert params["proj_in_w"].shape == (24, 48)
+
+
+def test_opt_350m_style_export_roundtrip(tmp_path):
+    """export_hf_checkpoint for the opt-350m family loads back under
+    transformers with identical logits."""
+    import torch as _torch
+    from transformers import AutoModelForCausalLM, OPTConfig, OPTForCausalLM
+
+    from slamkit_tpu.models.hf_convert import export_hf_checkpoint
+
+    hf_cfg = OPTConfig(
+        vocab_size=99, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=False, activation_function="relu",
+        word_embed_proj_dim=24, attn_implementation="eager")
+    model = OPTForCausalLM(hf_cfg)
+    cfg, params = _compare(model, {**hf_cfg.to_dict(), "model_type": "opt"})
+
+    out = str(tmp_path / "export")
+    export_hf_checkpoint(params, cfg, "opt-350m-style", out)
+    back = AutoModelForCausalLM.from_pretrained(out, attn_implementation="eager")
+    back.eval()
+    ids = np.random.RandomState(1).randint(0, 99, size=(2, 12))
+    with _torch.no_grad():
+        a = model(_torch.tensor(ids)).logits.float().numpy()
+        b = back(_torch.tensor(ids)).logits.float().numpy()
+    np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3)
