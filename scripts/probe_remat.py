@@ -17,22 +17,29 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 COMBOS = [
-    # (name, remat, optim, state_dtype, remat_policy, remat_layers)
-    ("remat+f32adamw", True, "adamw_torch", "float32", "full", -1),
-    ("remat+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1),
-    ("noremat+f32adamw", False, "adamw_torch", "float32", "full", -1),
-    ("noremat+bf16adamw", False, "adamw_torch", "bfloat16", "full", -1),
-    ("noremat+adafactor", False, "adafactor", "float32", "full", -1),
-    ("qkvremat+bf16adamw", True, "adamw_torch", "bfloat16", "qkv", -1),
-    ("qkvremat+adafactor", True, "adafactor", "float32", "qkv", -1),
-    ("remat12+bf16adamw", True, "adamw_torch", "bfloat16", "full", 12),
-    ("remat16+bf16adamw", True, "adamw_torch", "bfloat16", "full", 16),
-    ("remat20+bf16adamw", True, "adamw_torch", "bfloat16", "full", 20),
-    ("qkvremat12+bf16adamw", True, "adamw_torch", "bfloat16", "qkv", 12),
+    # (name, remat, optim, state_dtype, remat_policy, remat_layers, batch, accum)
+    # effective batch stays 128 rows x 1024 ctx (the Slam recipe) throughout
+    ("remat+f32adamw", True, "adamw_torch", "float32", "full", -1, 8, 16),
+    ("remat+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1, 8, 16),
+    ("noremat+f32adamw", False, "adamw_torch", "float32", "full", -1, 8, 16),
+    ("noremat+bf16adamw", False, "adamw_torch", "bfloat16", "full", -1, 8, 16),
+    ("noremat+adafactor", False, "adafactor", "float32", "full", -1, 8, 16),
+    ("qkvremat+bf16adamw", True, "adamw_torch", "bfloat16", "qkv", -1, 8, 16),
+    ("qkvremat+adafactor", True, "adafactor", "float32", "qkv", -1, 8, 16),
+    ("remat12+bf16adamw", True, "adamw_torch", "bfloat16", "full", 12, 8, 16),
+    ("remat16+bf16adamw", True, "adamw_torch", "bfloat16", "full", 16, 8, 16),
+    ("remat20+bf16adamw", True, "adamw_torch", "bfloat16", "full", 20, 8, 16),
+    ("qkvremat12+bf16adamw", True, "adamw_torch", "bfloat16", "qkv", 12, 8, 16),
+    ("b16a8+f32adamw", True, "adamw_torch", "float32", "full", -1, 16, 8),
+    ("b16a8+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1, 16, 8),
+    ("b32a4+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1, 32, 4),
+    ("b64a2+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1, 64, 2),
+    ("b128a1+bf16adamw", True, "adamw_torch", "bfloat16", "full", -1, 128, 1),
 ]
 
 
-def run_one(name, remat, optim, state_dtype, remat_policy, remat_layers, accum):
+def run_one(name, remat, optim, state_dtype, remat_policy, remat_layers,
+            batch_size, accum, accum_override=None):
     import json
 
     import numpy as np
@@ -43,7 +50,8 @@ def run_one(name, remat, optim, state_dtype, remat_policy, remat_layers, accum):
     from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
     from slamkit_tpu.trainer.optim import make_optimizer
 
-    batch_size, context_len = 8, 1024
+    context_len = 1024
+    accum = accum_override or accum
     cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
                        twist_init=False, rope_theta=10000.0,
                        torch_dtype="bfloat16", remat=remat,
@@ -112,20 +120,24 @@ def run_one(name, remat, optim, state_dtype, remat_policy, remat_layers, accum):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--accum", type=int, default=16)
+    ap.add_argument("--accum", type=int, default=None)
+    ap.add_argument("--only", default=None, help="substring filter")
     ap.add_argument("--combo", default=None, help="run one combo in-process")
     args = ap.parse_args()
 
     if args.combo:
         spec = next(c for c in COMBOS if c[0] == args.combo)
-        run_one(*spec, accum=args.accum)
+        run_one(*spec)
         return
 
     # each combo in a fresh process: an OOM must not kill the sweep
-    for name, *_ in COMBOS[5:]:  # first 5 already measured this round
+    names = [c[0] for c in COMBOS]
+    if args.only:
+        wanted = args.only.split(",")
+        names = [n for n in names if any(n.startswith(w) for w in wanted)]
+    for name in names:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--combo", name, "--accum", str(args.accum)],
+            [sys.executable, os.path.abspath(__file__), "--combo", name],
             capture_output=True, text=True, timeout=900)
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if r.returncode == 0 and out:
