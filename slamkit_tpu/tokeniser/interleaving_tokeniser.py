@@ -196,31 +196,63 @@ class InterleavingTokeniser(AudioTokeniser):
                                    return_tensors="np", **kwargs)
 
     def _stringify_interleaved(self, inp) -> str:
-        if inp and isinstance(inp[0], tuple):
-            inp = [GenerationInput.from_tuple(i) for i in inp]
-        cur_str = ""
-        prev_mod = None
-        for segment in inp:
-            if segment.content_type.value == ContentType.SPEECH.value:
-                if prev_mod != "s":
-                    cur_str += SPEECH_TOKEN
-                wav = np.asarray(segment.content)[None]
-                cur_str += self.stringify_representation(self.audio_represent(wav))[0]
-                prev_mod = "s"
-            elif segment.content_type.value == ContentType.TEXT.value:
-                if prev_mod != "t":
-                    cur_str += TEXT_TOKEN
-                cur_str += segment.content
-                prev_mod = "t"
-            else:
-                raise ValueError(f"Unknown content type: {segment.content_type.value}")
-        return cur_str
+        return self._stringify_interleaved_batch([inp])[0]
+
+    def _stringify_interleaved_batch(self, inputs) -> List[str]:
+        """Assemble interleaved strings for a BATCH of GenerationInput lists.
+
+        Every speech segment across the whole batch goes through ONE padded
+        feature-extractor pass (the reference loops a sequential per-segment
+        FE call — reference interleaving_tokeniser.py:204-209 — leaving the
+        accelerator idle between segments); padding is trimmed by relative
+        length exactly as in stage-1 batched extraction."""
+        norm = []
+        for inp in inputs:
+            if inp and isinstance(inp[0], tuple):
+                inp = [GenerationInput.from_tuple(i) for i in inp]
+            norm.append(inp)
+
+        wavs, owners = [], []
+        for i, inp in enumerate(norm):
+            for j, seg in enumerate(inp):
+                if seg.content_type.value == ContentType.SPEECH.value:
+                    wavs.append(np.asarray(seg.content).reshape(-1))
+                    owners.append((i, j))
+        seg_strs = {}
+        if wavs:
+            lens = np.array([len(w) for w in wavs])
+            batch = np.zeros((len(wavs), int(lens.max())), np.float32)
+            for k, w in enumerate(wavs):
+                batch[k, :len(w)] = w
+            strs = self.stringify_representation(self.audio_represent(batch, lens))
+            seg_strs = dict(zip(owners, strs))
+
+        out = []
+        for i, inp in enumerate(norm):
+            cur_str = ""
+            prev_mod = None
+            for j, segment in enumerate(inp):
+                if segment.content_type.value == ContentType.SPEECH.value:
+                    if prev_mod != "s":
+                        cur_str += SPEECH_TOKEN
+                    cur_str += seg_strs[(i, j)]
+                    prev_mod = "s"
+                elif segment.content_type.value == ContentType.TEXT.value:
+                    if prev_mod != "t":
+                        cur_str += TEXT_TOKEN
+                    cur_str += segment.content
+                    prev_mod = "t"
+                else:
+                    raise ValueError(
+                        f"Unknown content type: {segment.content_type.value}")
+            out.append(cur_str)
+        return out
 
     def tokenise(self, inputs, lens=None) -> dict:
         if isinstance(inputs, np.ndarray):
             str_repr = self.stringify_representation(self.audio_represent(inputs, lens))
         elif isinstance(inputs, list):
-            str_repr = [self._stringify_interleaved(inp) for inp in inputs]
+            str_repr = self._stringify_interleaved_batch(inputs)
         else:
             raise ValueError(
                 f"Inputs should be a list of InterleavedInputs or an array, got {type(inputs)}")
@@ -228,7 +260,7 @@ class InterleavingTokeniser(AudioTokeniser):
 
     def build_prompt(self, inputs, lens=None, output_modality=None) -> dict:
         if isinstance(inputs, list):
-            str_reps = [self._stringify_interleaved(inp) for inp in inputs]
+            str_reps = self._stringify_interleaved_batch(inputs)
         elif isinstance(inputs, np.ndarray):
             str_reps = self.stringify_representation(self.audio_represent(inputs, lens))
         else:
