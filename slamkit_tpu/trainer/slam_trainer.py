@@ -362,6 +362,54 @@ class SLAMTrainer:
         # accumulation group still makes progress instead of spinning forever
         pending: List[dict] = []
         last_eval_step = last_save_step = -1
+        # lag-1 metrics pipeline: the float() pull of step N's metrics happens
+        # AFTER step N+1 is dispatched, so host batch assembly overlaps device
+        # compute (pulling every step serialized them — the round-1 31k-loop
+        # vs 36k-step gap). Scheduled eval/save steps are static, so we drain
+        # before dispatching past them; budget callbacks may observe their
+        # threshold one step late (<=1 extra step on a 17k-step run).
+        inflight: Optional[tuple] = None  # (step_no, metrics)
+
+        def process(entry):
+            nonlocal last_eval_step, last_save_step
+            nonlocal window_loss, window_t0, window_tokens
+            step_no, metrics = entry
+            loss = float(metrics["loss"])
+            tokens = int(metrics["tokens_seen"])
+            state.num_input_tokens_seen += tokens
+            window_loss.append(loss)
+            window_tokens += tokens
+            if step_no % logging_steps == 0:
+                dt = time.time() - window_t0
+                self._log({
+                    "loss": float(np.mean(window_loss)),
+                    "learning_rate": float(self.schedule(step_no)),
+                    "num_input_tokens_seen": state.num_input_tokens_seen,
+                    "tokens_per_sec": window_tokens / max(dt, 1e-9),
+                    "epoch": round(step_no / self.steps_per_epoch, 4),
+                    "step": step_no,
+                })
+                window_loss, window_t0, window_tokens = [], time.time(), 0
+            for cb in self.callbacks:
+                cb.on_step_end(args, state, control)
+            if do_eval and eval_steps and step_no % eval_steps == 0:
+                control.should_evaluate = True
+            if save_steps and step_no % save_steps == 0:
+                control.should_save = True
+            if control.should_evaluate:
+                control.should_evaluate = False
+                self.evaluate()
+                last_eval_step = state.global_step
+            if control.should_save:
+                control.should_save = False
+                self.save_checkpoint()
+                last_save_step = state.global_step
+
+        def is_sync_step(step_no: int) -> bool:
+            return bool(
+                (save_steps and step_no % save_steps == 0)
+                or (do_eval and eval_steps and step_no % eval_steps == 0))
+
         while state.global_step < self.total_steps and not control.should_training_stop:
             yielded = 0
             for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
@@ -371,6 +419,14 @@ class SLAMTrainer:
                 self._pending_count = len(pending)
                 if len(pending) < self.accum:
                     continue
+                # drain BEFORE dispatching past a scheduled eval/save step so
+                # checkpoints snapshot exactly that step's train_state (and
+                # before the stacked group counts as consumed in data_pos)
+                if inflight is not None and is_sync_step(inflight[0]):
+                    process(inflight)
+                    inflight = None
+                    if control.should_training_stop:
+                        break
                 stacked = _stack_microbatches(pending)
                 pending = []
                 self._pending_count = 0
@@ -387,39 +443,9 @@ class SLAMTrainer:
                     logger.info("Saved profiler trace to %s/profile", args.output_dir)
                 state.global_step += 1
                 state.epoch = state.global_step / self.steps_per_epoch
-                loss = float(metrics["loss"])
-                tokens = int(metrics["tokens_seen"])
-                state.num_input_tokens_seen += tokens
-                window_loss.append(loss)
-                window_tokens += tokens
-
-                if state.global_step % logging_steps == 0:
-                    dt = time.time() - window_t0
-                    self._log({
-                        "loss": float(np.mean(window_loss)),
-                        "learning_rate": float(self.schedule(state.global_step)),
-                        "num_input_tokens_seen": state.num_input_tokens_seen,
-                        "tokens_per_sec": window_tokens / max(dt, 1e-9),
-                        "epoch": round(state.epoch, 4),
-                        "step": state.global_step,
-                    })
-                    window_loss, window_t0, window_tokens = [], time.time(), 0
-
-                for cb in self.callbacks:
-                    cb.on_step_end(args, state, control)
-                if do_eval and eval_steps and state.global_step % eval_steps == 0:
-                    control.should_evaluate = True
-                if save_steps and state.global_step % save_steps == 0:
-                    control.should_save = True
-
-                if control.should_evaluate:
-                    control.should_evaluate = False
-                    self.evaluate()
-                    last_eval_step = state.global_step
-                if control.should_save:
-                    control.should_save = False
-                    self.save_checkpoint()
-                    last_save_step = state.global_step
+                if inflight is not None:
+                    process(inflight)
+                inflight = (state.global_step, metrics)
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
             else:  # epoch exhausted (no break): roll to the next epoch
@@ -431,6 +457,9 @@ class SLAMTrainer:
                 epoch += 1
                 skip = 0
                 self._data_pos = (epoch, 0)
+        if inflight is not None:
+            process(inflight)
+            inflight = None
 
         # final evaluate + save (a budget-boxed run always ends usable) —
         # skipped when a budget-stop callback already did both at this step
