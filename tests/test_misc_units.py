@@ -8,14 +8,21 @@ import pytest
 def test_default_flash_block_sizes():
     from slamkit_tpu.ops.flash_attention import default_block_sizes
 
-    assert default_block_sizes(1024, 1024) == (1024, 1024)
-    assert default_block_sizes(128, 128) == (128, 128)
-    # VMEM cap: score tile bq*bk*4B <= 4MB
-    bq, bk = default_block_sizes(8192, 8192)
-    assert bq * bk * 4 <= 4 * 1024 * 1024
+    # (bq_fwd, bk, bq_bwd, bk): fwd holds 2 live score panels, bwd ~3 —
+    # measured VMEM budgets, G folds into the panel height
+    assert default_block_sizes(1024, 1024) == (1024, 1024, 1024, 1024)
+    assert default_block_sizes(128, 128) == (128, 128, 128, 128)
+    # VMEM caps: G*bq*bk*4B*panels <= budget
+    bq, bk, bqb, bkb = default_block_sizes(8192, 8192)
+    assert bq * bk * 4 * 2 <= 8 * 1024 * 1024
+    assert bqb * bkb * 4 * 3 <= 12 * 1024 * 1024
     assert bq % 128 == 0 and bk % 128 == 0
+    # GQA folding shrinks the q block, fwd floor 128 / bwd floor 64
+    bq, bk, bqb, _ = default_block_sizes(1024, 1024, groups=7)
+    assert 7 * bq * bk * 4 * 2 <= 8 * 1024 * 1024 or bq == 128
+    assert bq == 128 and bqb == 128
     # non-multiples round up to lanes
-    bq, bk = default_block_sizes(200, 333)
+    bq, bk, _, _ = default_block_sizes(200, 333)
     assert bq == 256 and bk == 384
 
 
@@ -25,8 +32,12 @@ def test_flash_block_validation():
     from slamkit_tpu.ops import flash_attention
 
     q = jnp.zeros((1, 1, 128, 64), jnp.float32)
-    with pytest.raises(ValueError, match="multiples"):
-        flash_attention(q, q, q, block_q=64, block_k=64, interpret=True)
+    # block_q only needs sublane alignment (8) since GQA folding; block_k
+    # tiles the lane dim and must stay a multiple of 128
+    with pytest.raises(ValueError, match="multiple of 128"):
+        flash_attention(q, q, q, block_q=128, block_k=64, interpret=True)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        flash_attention(q, q, q, block_q=12, block_k=128, interpret=True)
 
 
 def test_resolve_reference_path_precedence(monkeypatch):
