@@ -61,6 +61,12 @@ def train(cfg):
     if cfg.model.config_args.vocab_size == -1:
         logger.info("Model vocab_size is -1, setting to tokeniser vocab size")
         cfg.model.config_args.vocab_size = len(tokeniser.text_tokeniser)
+    # training_args.remat activates decoder-block checkpointing in the model
+    # (the TPU analogue of HF gradient_checkpointing — required to fit the
+    # 360M Slam recipe on a 16G chip)
+    if bool(cfg.training_args.get("remat", False)) or \
+            bool(cfg.training_args.get("gradient_checkpointing", False)):
+        cfg.model.config_args.remat = True
     model = tlm_factory(cfg.model)
     logger.info("model inited")
 

@@ -35,7 +35,7 @@ def build_fixtures(root):
     return hub_dir, km
 
 
-def build_wavs(root, pairs, seed=0):
+def build_wavs(root, pairs, seed=0, args_maxsec=4.0):
     from slamkit_tpu.utils.audio import save_wav
 
     wav_dir = os.path.join(root, "sblimp")
@@ -45,7 +45,7 @@ def build_wavs(root, pairs, seed=0):
         for j, tag in ((0, "p"), (1, "n")):
             path = os.path.join(wav_dir, f"{2 * i + j}+{tag}.wav")
             if not os.path.isfile(path):
-                n = int(16000 * rng.uniform(2.0, 4.0))
+                n = int(16000 * rng.uniform(2.0, args_maxsec))
                 save_wav(path, rng.standard_normal(n).astype(np.float32) * 0.1,
                          16000)
     return wav_dir
@@ -56,11 +56,14 @@ def main():
     ap.add_argument("--pairs", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--root", default="/tmp/bench_eval")
+    ap.add_argument("--maxsec", type=float, default=4.0)
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="FE bucket_samples (0 = batch-max padding)")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
     hub_dir, km = build_fixtures(args.root)
-    wav_dir = build_wavs(args.root, args.pairs)
+    wav_dir = build_wavs(args.root, args.pairs, args_maxsec=args.maxsec)
 
     from slamkit_tpu.feature_extractor.hubert_feature_extractor import (
         HubertFeatureExtractor)
@@ -71,7 +74,8 @@ def main():
     from slamkit_tpu.tokeniser.unit_tokeniser import UnitTokeniser
 
     fe = HubertFeatureExtractor(pretrained_model=hub_dir, kmeans_path=km,
-                                layer=9, num_units=500)
+                                layer=9, num_units=500,
+                                bucket_samples=args.bucket or None)
     tok = UnitTokeniser(fe, num_units=500)
     lm = UnitLM(UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B",
                              vocab_size=502, twist_init=False,

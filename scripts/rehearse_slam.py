@@ -123,6 +123,7 @@ def main():
            "training_args.save_steps=1000",
            "training_args.eval_steps=1000",
            "training_args.optim_state_dtype=bfloat16",
+           "training_args.remat=true",
            "run_time=0-23:00:00",
            f"train_max_tokens={int(args.tokens):d}",
            ] + args.extra
