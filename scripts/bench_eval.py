@@ -18,21 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_fixtures(root):
-    import transformers
+    # one fabricated-mHuBERT builder for every offline harness
+    from stage1_parity import fabricate
 
-    hub_dir = os.path.join(root, "hubert")
-    if not os.path.isdir(hub_dir):
-        cfg = transformers.HubertConfig(
-            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-            intermediate_size=3072, vocab_size=32,
-            conv_dim=(512, 512, 512, 512, 512, 512, 512),
-            do_stable_layer_norm=True, feat_extract_norm="layer")
-        transformers.HubertModel(cfg).save_pretrained(hub_dir)
-    km = os.path.join(root, "km500.npy")
-    if not os.path.isfile(km):
-        np.save(km, np.random.default_rng(0).standard_normal(
-            (500, 768)).astype(np.float32))
-    return hub_dir, km
+    return fabricate(root)
 
 
 def build_wavs(root, pairs, seed=0, args_maxsec=4.0):

@@ -127,7 +127,7 @@ def main():
 
     if args.combo:
         spec = next(c for c in COMBOS if c[0] == args.combo)
-        run_one(*spec)
+        run_one(*spec, accum_override=args.accum)
         return
 
     # each combo in a fresh process: an OOM must not kill the sweep
@@ -136,8 +136,11 @@ def main():
         wanted = args.only.split(",")
         names = [n for n in names if any(n.startswith(w) for w in wanted)]
     for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), "--combo", name]
+        if args.accum:
+            cmd += ["--accum", str(args.accum)]
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--combo", name],
+            cmd,
             capture_output=True, text=True, timeout=900)
         out = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if r.returncode == 0 and out:

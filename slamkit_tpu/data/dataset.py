@@ -311,10 +311,18 @@ def load_token_dataset(path_glob: str, tokeniser,
 # multi-corpus interleaving
 # --------------------------------------------------------------------------- #
 def _materialize_picks(datasets: Sequence[TokenDataset], src: np.ndarray,
-                       idx: np.ndarray) -> TokenDataset:
+                       idx: np.ndarray,
+                       spill_tokens: int = DEFAULT_SPILL_TOKENS,
+                       spill_dir: Optional[str] = None,
+                       slab_tokens: int = 32 << 20) -> TokenDataset:
     """Build one contiguous dataset from (source, row) picks. Vectorized per
     source: gather each source's token ranges and scatter them to the pick
-    positions in the output buffer."""
+    positions in the output buffer.
+
+    Past `spill_tokens` the output buffer is a disk-backed memmap (unlinked
+    after mapping, like TokenWriter) and the gather/scatter runs in bounded
+    row slabs — the int64 index arrays are 16 B/token, so a single full-corpus
+    pass would dwarf even the token buffer's RAM."""
     n = len(src)
     lens = np.empty(n, dtype=np.int64)
     for s, d in enumerate(datasets):
@@ -323,22 +331,44 @@ def _materialize_picks(datasets: Sequence[TokenDataset], src: np.ndarray,
             lens[m] = d.lengths[idx[m]]
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=out_offsets[1:])
-    tokens = np.empty(int(out_offsets[-1]), dtype=np.int32)
-    for s, d in enumerate(datasets):
-        m = src == s
-        if not m.any():
-            continue
-        src_starts = d.starts[idx[m]]
-        seq_lens = lens[m]
-        r = _ranges(seq_lens)
-        src_idx = np.repeat(src_starts, seq_lens) + r
-        dst_idx = np.repeat(out_offsets[:-1][m], seq_lens) + r
-        tokens[dst_idx] = d.tokens[src_idx]
+    total = int(out_offsets[-1])
+    if total > int(spill_tokens):
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+        fd, path = tempfile.mkstemp(suffix=".tokens.bin", dir=spill_dir)
+        os.close(fd)
+        logger.info("Interleaved corpus is %d tokens; memmapping via %s",
+                    total, path)
+        tokens = np.memmap(path, dtype=np.int32, mode="w+", shape=(total,))
+        os.unlink(path)  # mapping stays valid; space frees on exit
+    else:
+        tokens = np.empty(total, dtype=np.int32)
+
+    # slab_tokens bounds the 16 B/token index arrays (default ~512 MB peak)
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(out_offsets,
+                                 out_offsets[lo] + slab_tokens, side="left"))
+        hi = min(max(hi, lo + 1), n)
+        sl = slice(lo, hi)
+        for s, d in enumerate(datasets):
+            m = src[sl] == s
+            if not m.any():
+                continue
+            src_starts = d.starts[idx[sl][m]]
+            seq_lens = lens[sl][m]
+            r = _ranges(seq_lens)
+            src_idx = np.repeat(src_starts, seq_lens) + r
+            dst_idx = np.repeat(out_offsets[lo:hi][m], seq_lens) + r
+            tokens[dst_idx] = d.tokens[src_idx]
+        lo = hi
     return TokenDataset(tokens, out_offsets[:-1], lens)
 
 
 def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
-               stopping_strategy: str = "first_exhausted", seed: int = 0) -> TokenDataset:
+               stopping_strategy: str = "first_exhausted", seed: int = 0,
+               spill_tokens: int = DEFAULT_SPILL_TOKENS,
+               spill_dir: Optional[str] = None) -> TokenDataset:
     """Sample-with-probabilities mixing of several corpora, matching HF
     interleave_datasets semantics (reference hf_dataset.py:49-50): draw a
     source per output row until the first (or last) source is exhausted.
@@ -379,7 +409,8 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
             base += np.bincount(draws, minlength=len(datasets))
         src = np.concatenate(src_parts) if src_parts else np.empty(0, np.int64)
         idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
-        return _materialize_picks(datasets, src, idx)
+        return _materialize_picks(datasets, src, idx, spill_tokens=spill_tokens,
+                                  spill_dir=spill_dir)
 
     # all_exhausted: short corpora restart, so cursors wrap — per-draw loop
     cursors = np.zeros(len(datasets), dtype=np.int64)
@@ -406,7 +437,8 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
         break
     src = np.fromiter((s for s, _ in picks), dtype=np.int64, count=len(picks))
     idx = np.fromiter((i for _, i in picks), dtype=np.int64, count=len(picks))
-    return _materialize_picks(datasets, src, idx)
+    return _materialize_picks(datasets, src, idx, spill_tokens=spill_tokens,
+                              spill_dir=spill_dir)
 
 
 # --------------------------------------------------------------------------- #
@@ -416,10 +448,13 @@ def parse_single_dataset(cfg, tokeniser, train_path: str,
                          val_path: Optional[str] = None) -> Dict[str, TokenDataset]:
     spill = int(cfg.data.get("spill_tokens", DEFAULT_SPILL_TOKENS)
                 or DEFAULT_SPILL_TOKENS)
-    ds = {"train": load_token_dataset(train_path, tokeniser, spill_tokens=spill)}
+    spill_dir = cfg.data.get("spill_dir", None)
+    ds = {"train": load_token_dataset(train_path, tokeniser, spill_tokens=spill,
+                                      spill_dir=spill_dir)}
     if val_path is not None:
         ds["validation"] = load_token_dataset(val_path, tokeniser,
-                                              spill_tokens=spill)
+                                              spill_tokens=spill,
+                                              spill_dir=spill_dir)
 
     if cfg.data.get("sample_units_max_length", None):
         ds["train"] = ds["train"].filter_by_length(max_len=cfg.data.sample_units_max_length)
@@ -472,7 +507,12 @@ def init_dataset(cfg, tokeniser) -> Dict[str, TokenDataset]:
             "train": interleave(trains, ratios,
                                 stopping_strategy=cfg.data.get("stopping_strategy",
                                                                "first_exhausted"),
-                                seed=0),
+                                seed=0,
+                                spill_tokens=int(
+                                    cfg.data.get("spill_tokens",
+                                                 DEFAULT_SPILL_TOKENS)
+                                    or DEFAULT_SPILL_TOKENS),
+                                spill_dir=cfg.data.get("spill_dir", None)),
             "validation": TokenDataset.concatenate(vals),
         }
     else:

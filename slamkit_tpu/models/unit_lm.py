@@ -309,12 +309,17 @@ def tlm_factory(cfg) -> UnitLM:
     if cfg.tlm_type not in ("twist", "gslm"):
         raise ValueError(f"Unknown tlm type: {cfg.tlm_type}")
     if cfg.get("pretrained_model"):
-        return UnitLM.from_pretrained(
-            cfg.pretrained_model,
-            attn_implementation=cfg.config_args.get("attn_implementation"),
-            torch_dtype=cfg.config_args.get("torch_dtype"),
-            use_cache=cfg.config_args.get("use_cache", False),
-        )
+        overrides = {
+            "attn_implementation": cfg.config_args.get("attn_implementation"),
+            "torch_dtype": cfg.config_args.get("torch_dtype"),
+            "use_cache": cfg.config_args.get("use_cache", False),
+        }
+        # remat (set by cli/train from training_args.remat) must survive the
+        # fine-tune/cont_training path too, not just fresh-config builds
+        for k in ("remat", "remat_policy", "remat_layers"):
+            if cfg.config_args.get(k) is not None:
+                overrides[k] = cfg.config_args.get(k)
+        return UnitLM.from_pretrained(cfg.pretrained_model, **overrides)
     from ..config import to_container
 
     config = UnitLMConfig.from_dict(to_container(cfg.config_args))

@@ -54,6 +54,8 @@ class FlashConfig:
     block_k_bwd: int = 128
     has_segments: bool = False
     interpret: bool = False
+    ik_offset: int = 0                 # global index of this call's first k block
+                                       # (the chunked backward slices the k axis)
 
 
 def _row_positions(iq: int, bq: int, rows: int):
@@ -230,7 +232,7 @@ def _bwd_kernel(*refs, cfg: FlashConfig, num_q_blocks: int):
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dq_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
 
-    ik, iq = pl.program_id(2), pl.program_id(3)
+    ik, iq = pl.program_id(2) + cfg.ik_offset, pl.program_id(3)
     bq, bk = cfg.block_q_bwd, cfg.block_k_bwd
 
     @pl.when(iq == 0)
@@ -298,14 +300,50 @@ def _bwd_kernel(*refs, cfg: FlashConfig, num_q_blocks: int):
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+# at most this many per-k-block dQ partials are ever live in HBM: past it the
+# backward runs in k-axis chunks (each chunk's dk/dv slice is complete and the
+# partial sum folds into an accumulator), so tuned-small-block configs don't
+# pay O(n_k x |q|) f32 memory
+_MAX_DQ_PARTIALS = 4
+
+
 def _bwd(q5, k, v, q_seg, k_seg, out5, lse5, do5, cfg: FlashConfig):
+    t_q, t_k = q5.shape[3], k.shape[2]
+    bk = cfg.block_k_bwd
+    n_k = t_k // bk
+
+    delta = jnp.sum(do5.astype(jnp.float32) * out5.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (B, Hkv, G, T, 1)
+
+    if n_k <= _MAX_DQ_PARTIALS:
+        return _bwd_call(q5, k, v, q_seg, k_seg, lse5, do5, delta, cfg)
+
+    chunk = _MAX_DQ_PARTIALS * bk
+    dq = jnp.zeros(q5.shape, jnp.float32)
+    dks, dvs = [], []
+    for c0 in range(0, t_k, chunk):
+        c1 = min(c0 + chunk, t_k)
+        if cfg.causal and c0 > t_q - 1:
+            # k blocks entirely above the causal diagonal: zero gradients
+            dks.append(jnp.zeros_like(k[:, :, c0:c1]))
+            dvs.append(jnp.zeros_like(v[:, :, c0:c1]))
+            continue
+        ccfg = dataclasses.replace(cfg, ik_offset=c0 // bk)
+        k_seg_c = k_seg[:, :, c0:c1] if cfg.has_segments else k_seg
+        dq_c, dk_c, dv_c = _bwd_call(q5, k[:, :, c0:c1], v[:, :, c0:c1],
+                                     q_seg, k_seg_c, lse5, do5, delta, ccfg)
+        dq = dq + dq_c.astype(jnp.float32)
+        dks.append(dk_c)
+        dvs.append(dv_c)
+    return (dq.astype(q5.dtype), jnp.concatenate(dks, axis=2),
+            jnp.concatenate(dvs, axis=2))
+
+
+def _bwd_call(q5, k, v, q_seg, k_seg, lse5, do5, delta, cfg: FlashConfig):
     batch, h_kv, g, t_q, d = q5.shape
     t_k = k.shape[2]
     bq, bk = cfg.block_q_bwd, cfg.block_k_bwd
     n_q, n_k = t_q // bq, t_k // bk
-
-    delta = jnp.sum(do5.astype(jnp.float32) * out5.astype(jnp.float32),
-                    axis=-1, keepdims=True)  # (B, Hkv, G, T, 1)
 
     lse_spec = pl.BlockSpec((1, 1, g, bq, 1), lambda b, h, ik, iq: (b, h, 0, iq, 0))
     common = [

@@ -154,6 +154,22 @@ def opt_state_shardings(opt_state, params, param_shardings_tree, mesh: Mesh):
         by_path[_path_keys(path)] = sh
     rep = replicated(mesh)
 
+    def compatible(sh, leaf):
+        # factored states (adafactor v_row/v_col, (1,) placeholders) have a
+        # DIFFERENT shape than their param — the param's spec would be
+        # rank-mismatched or indivisible; those leaves stay replicated
+        spec = sh.spec
+        if len(spec) > leaf.ndim:
+            return False
+        for i, ax in enumerate(spec):
+            if ax is None:
+                continue
+            names = (ax,) if isinstance(ax, str) else tuple(ax)
+            n = int(np.prod([mesh.shape[a] for a in names]))
+            if leaf.shape[i] % n != 0:
+                return False
+        return True
+
     def resolve(path, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             return rep
@@ -161,7 +177,7 @@ def opt_state_shardings(opt_state, params, param_shardings_tree, mesh: Mesh):
         for start in range(len(keys)):
             sh = by_path.get(keys[start:])
             if sh is not None:
-                return sh
+                return sh if compatible(sh, leaf) else rep
         return rep
 
     return jax.tree_util.tree_map_with_path(resolve, opt_state)

@@ -201,11 +201,15 @@ class InterleavingTokeniser(AudioTokeniser):
     def _stringify_interleaved_batch(self, inputs) -> List[str]:
         """Assemble interleaved strings for a BATCH of GenerationInput lists.
 
-        Every speech segment across the whole batch goes through ONE padded
-        feature-extractor pass (the reference loops a sequential per-segment
-        FE call — reference interleaving_tokeniser.py:204-209 — leaving the
-        accelerator idle between segments); padding is trimmed by relative
-        length exactly as in stage-1 batched extraction."""
+        Speech segments are batched through the feature extractor instead of
+        the reference's sequential per-segment FE calls (reference
+        interleaving_tokeniser.py:204-209, which leave the accelerator idle
+        between segments). To stay bit-equal to those exact [1, T] calls, the
+        default groups segments by EXACT length (every FE op is per-sample,
+        so an unpadded equal-length batch matches the sequential result);
+        when the FE's opt-in bucket_samples approximation is on, all
+        segments go through one padded pass instead (fewer dispatches,
+        bounded recompiles — the documented exactness trade)."""
         norm = []
         for inp in inputs:
             if inp and isinstance(inp[0], tuple):
@@ -221,11 +225,20 @@ class InterleavingTokeniser(AudioTokeniser):
         seg_strs = {}
         if wavs:
             lens = np.array([len(w) for w in wavs])
-            batch = np.zeros((len(wavs), int(lens.max())), np.float32)
-            for k, w in enumerate(wavs):
-                batch[k, :len(w)] = w
-            strs = self.stringify_representation(self.audio_represent(batch, lens))
-            seg_strs = dict(zip(owners, strs))
+            fe = self.speech_fe
+            if fe is not None and getattr(fe, "bucket_samples", None):
+                groups = [np.arange(len(wavs))]
+            else:
+                groups = [np.flatnonzero(lens == n) for n in np.unique(lens)]
+            for idx in groups:
+                sub_lens = lens[idx]
+                batch = np.zeros((len(idx), int(sub_lens.max())), np.float32)
+                for r, k in enumerate(idx):
+                    batch[r, :lens[k]] = wavs[k]
+                strs = self.stringify_representation(
+                    self.audio_represent(batch, sub_lens))
+                for r, k in enumerate(idx):
+                    seg_strs[owners[k]] = strs[r]
 
         out = []
         for i, inp in enumerate(norm):

@@ -386,3 +386,27 @@ def test_init_dataset_multi_corpus_no_val(tmp_path):
     ])  # repetitions left at the default [1]
     with _pytest.raises(ValueError, match="repetitions"):
         init_dataset(cfg2, tok)
+
+
+def test_interleave_spills_to_memmap(tmp_path):
+    """Past spill_tokens the interleaved corpus is disk-backed (bounded RSS
+    at Libri-light scale) and bit-identical to the in-RAM result, including
+    across the slab boundaries of the chunked gather/scatter."""
+    rng = np.random.default_rng(0)
+    a = make_ds([rng.integers(2, 90, rng.integers(1, 40)).tolist()
+                 for _ in range(300)])
+    b = make_ds([rng.integers(90, 180, rng.integers(1, 25)).tolist()
+                 for _ in range(200)])
+    in_ram = interleave([a, b], [0.6, 0.4], seed=3)
+    from unittest import mock
+
+    from slamkit_tpu.data import dataset as dsmod
+    orig = dsmod._materialize_picks
+    with mock.patch.object(
+            dsmod, "_materialize_picks",
+            lambda *a, **k: orig(*a, **{**k, "slab_tokens": 64})):
+        spilled = interleave([a, b], [0.6, 0.4], seed=3, spill_tokens=100,
+                             spill_dir=str(tmp_path))
+    assert isinstance(spilled.tokens, np.memmap)
+    assert np.array_equal(np.asarray(spilled.tokens), np.asarray(in_ram.tokens))
+    assert np.array_equal(spilled.offsets, in_ram.offsets)

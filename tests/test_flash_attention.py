@@ -162,3 +162,35 @@ def test_multi_k_block_dq_partials():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr in zip(g_flash, g_ref):
         np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=5e-4)
+
+
+def test_chunked_bwd_bounded_dq_partials():
+    """nK > _MAX_DQ_PARTIALS runs the backward in k-axis chunks (bounded
+    f32 partials); gradients must still match XLA, including the causal
+    ik_offset in every chunk and GQA folding."""
+    b, hq, hkv, t, d = 1, 4, 2, 1024, 64
+    ks = jax.random.split(jax.random.PRNGKey(10), 3)
+    q = jax.random.normal(ks[0], (b, hq, t, d)) * 0.3
+    k = jax.random.normal(ks[1], (b, hkv, t, d)) * 0.3
+    v = jax.random.normal(ks[2], (b, hkv, t, d)) * 0.3
+    seg = jnp.asarray(np.repeat(np.arange(8), 128)[None], jnp.int32)
+    kr = jnp.repeat(k, hq // hkv, axis=1)
+    vr = jnp.repeat(v, hq // hkv, axis=1)
+
+    def loss(q, k, v):
+        return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True,
+                          block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, kr, vr):
+        return jnp.sum(mha_reference(q, kr, vr, segment_ids=seg,
+                                     causal=True) ** 2)
+
+    from slamkit_tpu.ops.flash_attention import _MAX_DQ_PARTIALS
+    assert t // 128 > _MAX_DQ_PARTIALS  # the chunk path actually runs
+    g_flash = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kr, vr)
+    np.testing.assert_allclose(g_flash[0], g_ref[0], atol=5e-5, rtol=5e-4)
+    # fold the repeated-head reference grads back onto the kv heads
+    for gi, gr in ((1, g_ref[1]), (2, g_ref[2])):
+        folded = gr.reshape(b, hkv, hq // hkv, t, d).sum(axis=2)
+        np.testing.assert_allclose(g_flash[gi], folded, atol=5e-5, rtol=5e-4)

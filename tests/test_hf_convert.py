@@ -197,6 +197,25 @@ def test_load_reference_format_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
 
 
+def test_tlm_factory_forwards_remat_to_pretrained(tmp_path):
+    """training_args.remat (wired into config_args by cli/train) must reach
+    the model on the pretrained_model path too — a 360M cont_training run
+    without remat silently OOMs on a 16G chip."""
+    from slamkit_tpu.config import ConfigNode
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig, tlm_factory
+
+    cfg = UnitLMConfig(base_model_name="EleutherAI/pythia-14m", vocab_size=64,
+                       twist_init=False)
+    UnitLM(cfg, seed=0).save_pretrained(str(tmp_path / "ckpt"))
+
+    node = ConfigNode({"tlm_type": "twist",
+                       "pretrained_model": str(tmp_path / "ckpt"),
+                       "config_args": {"remat": True}})
+    model = tlm_factory(node)
+    assert model.config.remat is True
+    assert model.decoder.remat
+
+
 def test_opt_350m_style_parity():
     """opt-350m shape: word_embed_proj_dim != hidden (project_in/out) AND
     do_layer_norm_before=False (post-LN, no top-level final norm) — the

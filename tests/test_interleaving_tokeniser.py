@@ -166,3 +166,56 @@ def test_generation_input_interleaved(tok):
     # tuples also accepted
     s2 = tok._stringify_interleaved([("text", "hi"), ("speech", np.zeros(3200, np.float32))])
     assert s2.startswith(TEXT_TOKEN + "hi" + SPEECH_TOKEN)
+
+
+class PaddingSensitiveFE(FakeFE):
+    """Like real no-mask HuBERT attention: output units depend on the PADDED
+    batch width, so any extra padding changes the result."""
+
+    def extract(self, wav, lens=None):
+        wav = np.atleast_2d(np.asarray(wav))
+        out = []
+        for i in range(wav.shape[0]):
+            n = int((lens[i] if lens is not None else wav.shape[1]) / 3200)
+            out.append((np.arange(n) + wav.shape[1] // 3200) % N_UNITS)
+        return out
+
+
+def test_batched_stringify_matches_sequential(text_tok_dir):
+    """Mixed-length speech segments: the batched FE pass must be bit-equal to
+    the reference's sequential per-segment [1, T] calls (equal-length
+    grouping, NOT padding to the batch max)."""
+    tok = InterleavingTokeniser(PaddingSensitiveFE(), num_units=N_UNITS,
+                                text_tokeniser_path=text_tok_dir,
+                                interleave_method="random")
+    rng = np.random.default_rng(0)
+    inputs = []
+    for n_seg, lens in ((2, (16000, 6400)), (3, (6400, 32000, 16000))):
+        inp = []
+        for ln in lens:
+            inp.append(GenerationInput(
+                rng.standard_normal(ln).astype(np.float32), ContentType.SPEECH))
+            inp.append(GenerationInput("the cat", ContentType.TEXT))
+        inputs.append(inp)
+
+    batched = tok._stringify_interleaved_batch(inputs)
+    # ground truth: the reference's sequential per-segment [1, T] FE calls
+    sequential = []
+    for inp in inputs:
+        cur = ""
+        prev = None
+        for seg in inp:
+            if seg.content_type is ContentType.SPEECH:
+                if prev != "s":
+                    cur += SPEECH_TOKEN
+                wav = np.asarray(seg.content)[None, :]
+                cur += tok.stringify_representation(
+                    tok.audio_represent(wav, np.array([wav.shape[1]])))[0]
+                prev = "s"
+            else:
+                if prev != "t":
+                    cur += TEXT_TOKEN
+                cur += seg.content
+                prev = "t"
+        sequential.append(cur)
+    assert batched == sequential

@@ -319,6 +319,10 @@ def test_adam_compact_matches_optax_in_f32():
 @pytest.mark.parametrize("overrides", [
     {"optim_state_dtype": "bfloat16"},
     {"optim": "adafactor"},
+    # adafactor's factored v_row/v_col leaves have a DIFFERENT shape than
+    # their param: opt_state_shardings must replicate them instead of
+    # applying the param's (rank-mismatched) fsdp spec
+    {"optim": "adafactor", "fsdp": "true"},
 ])
 def test_optimizer_variants_train(tmp_path, overrides):
     """bf16 AdamW moments / adafactor: the 2-step train still runs and the
