@@ -151,7 +151,11 @@ class SLAMTrainer:
 
             updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
             new_params = optax.apply_updates(state["params"], updates)
-            metrics = {"loss": loss, "tokens_seen": count_tokens(batch["labels"])}
+            # ONE stacked f32 metrics array -> ONE host pull per step (each
+            # pull is a full RTT on remote/tunnel backends); per-step token
+            # counts are far below f32's 2^24 exact-integer range
+            metrics = jnp.stack(
+                [loss, count_tokens(batch["labels"]).astype(jnp.float32)])
             return {"params": new_params, "opt_state": new_opt}, metrics
 
         # eval: sum NLL + valid count per batch (host accumulates)
@@ -362,20 +366,26 @@ class SLAMTrainer:
         # accumulation group still makes progress instead of spinning forever
         pending: List[dict] = []
         last_eval_step = last_save_step = -1
-        # lag-1 metrics pipeline: the float() pull of step N's metrics happens
-        # AFTER step N+1 is dispatched, so host batch assembly overlaps device
-        # compute (pulling every step serialized them — the round-1 31k-loop
-        # vs 36k-step gap). Scheduled eval/save steps are static, so we drain
-        # before dispatching past them; budget callbacks may observe their
+        # Pipelined loop (on remote/tunnel backends every host<->device
+        # round-trip is a full RTT, which serialized the round-1 loop):
+        #   * batch UPLOAD runs in a worker thread: group N+1 uploads while
+        #     the device computes group N (`staged` holds the upload future);
+        #   * the metrics PULL runs in a second worker thread with lag 1:
+        #     step N's (loss, tokens) array is fetched while step N+1 runs.
+        # Scheduled eval/save steps are static, so we drain before
+        # dispatching past them; budget callbacks may observe their
         # threshold one step late (<=1 extra step on a 17k-step run).
-        inflight: Optional[tuple] = None  # (step_no, metrics)
+        # Un-stepped staged groups stay in _pending_count, so checkpoint
+        # data_pos replays them on resume.
+        inflight: Optional[tuple] = None  # (step_no, metrics future)
 
         def process(entry):
             nonlocal last_eval_step, last_save_step
             nonlocal window_loss, window_t0, window_tokens
-            step_no, metrics = entry
-            loss = float(metrics["loss"])
-            tokens = int(metrics["tokens_seen"])
+            step_no, metrics_fut = entry
+            metrics = metrics_fut.result()
+            loss = float(metrics[0])
+            tokens = int(metrics[1])
             state.num_input_tokens_seen += tokens
             window_loss.append(loss)
             window_tokens += tokens
@@ -410,42 +420,57 @@ class SLAMTrainer:
                 (save_steps and step_no % save_steps == 0)
                 or (do_eval and eval_steps and step_no % eval_steps == 0))
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        put_pool = ThreadPoolExecutor(1, thread_name_prefix="batch-upload")
+        pull_pool = ThreadPoolExecutor(1, thread_name_prefix="metrics-pull")
+        staged: Optional[tuple] = None  # upload future of a consumed group
+
+        def dispatch_staged():
+            nonlocal staged, inflight, profiling
+            # drain BEFORE dispatching past a scheduled eval/save step so
+            # checkpoints snapshot exactly that step's train_state
+            if inflight is not None and is_sync_step(inflight[0]):
+                process(inflight)
+                inflight = None
+                if control.should_training_stop:
+                    return
+            dev_batch = staged.result()
+            staged = None
+            self._pending_count -= self.accum
+            if profile_steps and state.global_step == profile_start and not profiling:
+                jax.profiler.start_trace(
+                    os.path.join(args.output_dir, "profile"))
+                profiling = True
+            self.train_state, metrics = self._train_step(self.train_state, dev_batch)
+            if profiling and state.global_step >= profile_start + profile_steps - 1:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Saved profiler trace to %s/profile", args.output_dir)
+            state.global_step += 1
+            state.epoch = state.global_step / self.steps_per_epoch
+            if inflight is not None:
+                process(inflight)
+            inflight = (state.global_step, pull_pool.submit(np.asarray, metrics))
+
         while state.global_step < self.total_steps and not control.should_training_stop:
             yielded = 0
             for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
                 yielded += 1
                 pending.append(batch)
                 self._data_pos = (epoch, self._data_pos[1] + 1)
-                self._pending_count = len(pending)
+                self._pending_count += 1
                 if len(pending) < self.accum:
                     continue
-                # drain BEFORE dispatching past a scheduled eval/save step so
-                # checkpoints snapshot exactly that step's train_state (and
-                # before the stacked group counts as consumed in data_pos)
-                if inflight is not None and is_sync_step(inflight[0]):
-                    process(inflight)
-                    inflight = None
-                    if control.should_training_stop:
-                        break
                 stacked = _stack_microbatches(pending)
                 pending = []
-                self._pending_count = 0
-                if profile_steps and state.global_step == profile_start and not profiling:
-                    jax.profiler.start_trace(
-                        os.path.join(args.output_dir, "profile"))
-                    profiling = True
-                stacked = self._put_train_batch(stacked)
-                self.train_state, metrics = self._train_step(self.train_state, stacked)
-                if profiling and state.global_step >= profile_start + profile_steps - 1:
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    logger.info("Saved profiler trace to %s/profile", args.output_dir)
-                state.global_step += 1
-                state.epoch = state.global_step / self.steps_per_epoch
-                if inflight is not None:
-                    process(inflight)
-                inflight = (state.global_step, metrics)
+                # start this group's upload FIRST, then step the previous
+                # group: the upload overlaps device compute
+                fut = put_pool.submit(self._put_train_batch, stacked)
+                if staged is not None:
+                    dispatch_staged()
+                staged = fut
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
             else:  # epoch exhausted (no break): roll to the next epoch
@@ -457,9 +482,18 @@ class SLAMTrainer:
                 epoch += 1
                 skip = 0
                 self._data_pos = (epoch, 0)
+                continue
+            break
+        # flush the last staged group (data exhausted right after assembly)
+        while staged is not None and not control.should_training_stop \
+                and state.global_step < self.total_steps:
+            dispatch_staged()
+        staged = None
         if inflight is not None:
             process(inflight)
             inflight = None
+        put_pool.shutdown(wait=True)
+        pull_pool.shutdown(wait=True)
 
         # final evaluate + save (a budget-boxed run always ends usable) —
         # skipped when a budget-stop callback already did both at this step
