@@ -293,6 +293,32 @@ class SLAMDPOTrainer:
         for _ in range(epoch):
             rng.permutation(n_rows)
         first_skip = round((state.epoch - epoch) * spe)
+        # one-slot upload pipeline (as in SLAMTrainer.train): batch N+1's
+        # device_put runs in a worker thread while the device computes step N.
+        # The data order is derived from global_step, so a staged-but-unstepped
+        # batch at a stop is simply dropped and recomputed on resume.
+        from concurrent.futures import ThreadPoolExecutor
+
+        put_pool = ThreadPoolExecutor(1, thread_name_prefix="dpo-upload")
+        staged = None  # (upload future, epoch, b_idx) of a collated batch
+
+        def dispatch_staged():
+            nonlocal staged
+            fut, s_epoch, s_b_idx = staged
+            staged = None
+            self.train_state, metrics = self._step(self.train_state,
+                                                   self.ref_params, fut.result())
+            state.global_step += 1
+            state.epoch = s_epoch + (s_b_idx + 1) / spe
+            if state.global_step % logging_steps == 0:
+                self._log({k: float(v) for k, v in metrics.items()} |
+                          {"learning_rate": float(self.schedule(state.global_step)),
+                           "step": state.global_step})
+            for cb in self.callbacks:
+                cb.on_step_end(args, state, control)
+            if save_steps and state.global_step % save_steps == 0:
+                self.save_checkpoint()
+
         while state.global_step < self.total_steps and not control.should_training_stop:
             order = rng.permutation(n_rows)
             if n_rows < self.batch_size:
@@ -302,23 +328,20 @@ class SLAMDPOTrainer:
                 if first_skip and b_idx < first_skip:
                     continue
                 rows = [self.train_rows[i] for i in order[start:start + self.batch_size]]
-                batch = jax.device_put(self._collate(rows), self._batch_sh)
-                self.train_state, metrics = self._step(self.train_state,
-                                                       self.ref_params, batch)
-                state.global_step += 1
-                state.epoch = epoch + (b_idx + 1) / spe
-                if state.global_step % logging_steps == 0:
-                    self._log({k: float(v) for k, v in metrics.items()} |
-                              {"learning_rate": float(self.schedule(state.global_step)),
-                               "step": state.global_step})
-                for cb in self.callbacks:
-                    cb.on_step_end(args, state, control)
-                if save_steps and state.global_step % save_steps == 0:
-                    self.save_checkpoint()
+                fut = put_pool.submit(
+                    lambda r=rows: jax.device_put(self._collate(r), self._batch_sh))
+                if staged is not None:
+                    dispatch_staged()
+                staged = (fut, epoch, b_idx)
                 if control.should_training_stop or state.global_step >= self.total_steps:
                     break
             first_skip = 0
             epoch += 1
+        while staged is not None and not control.should_training_stop \
+                and state.global_step < self.total_steps:
+            dispatch_staged()
+        staged = None
+        put_pool.shutdown(wait=True)
         self.evaluate()
         self.save_checkpoint()
         for cb in self.callbacks:
