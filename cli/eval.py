@@ -48,18 +48,23 @@ def eval_main(cfg):
 
     if not cross_modal:
         mt = cfg.metric.metric_type
+        # joint_pairs scores (pos, neg) in one [2B] call (metric.joint_pairs)
+        jp = bool(cfg.metric.get("joint_pairs", False))
         if mt == "swuggy":
             res = swuggy(model, path, used_token_modality, mean_nll, cfg.batch_size,
-                         cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False))
+                         cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False),
+                         joint_pairs=jp)
         elif mt == "sblimp":
             res = sblimp(model, path, used_token_modality, mean_nll, cfg.batch_size,
-                         cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False))
+                         cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False),
+                         joint_pairs=jp)
         elif mt == "storycloze":
             res = storycloze(model, path, used_token_modality, mean_nll, cfg.batch_size,
-                             cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False))
+                             cfg.num_workers, cfg.pin_memory, cfg.metric.get("subfolder", False),
+                             joint_pairs=jp)
         elif mt == "salmon":
             res = salmon(model, path, used_token_modality, mean_nll, cfg.metric.parts,
-                         cfg.batch_size, cfg.num_workers, cfg.pin_memory)
+                         cfg.batch_size, cfg.num_workers, cfg.pin_memory, joint_pairs=jp)
         elif mt == "generate":
             if cfg.vocoder.vocoder_type is None:
                 logger.warning("Running generation without a vocoder generates "

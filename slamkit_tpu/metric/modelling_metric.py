@@ -145,31 +145,37 @@ def modelling_metric(model, dataset, used_token_modality,
 
 
 def swuggy(model, data_path, used_token_modality, mean_nll=True, batch_size=1,
-           num_workers=8, pin_memory=True, subfolder=False):
+           num_workers=8, pin_memory=True, subfolder=False,
+           joint_pairs=False):
     dataset = ModellingMetricDataset(data_path, sep="_", subfolder=subfolder)
     assert len(dataset) > 0, f"no samples found for {data_path}"
     res = modelling_metric(model, dataset, used_token_modality, mean_nll,
-                           batch_size, num_workers, pin_memory)
+                           batch_size, num_workers, pin_memory,
+                           joint_pairs=joint_pairs)
     logger.info("sWUGGY: %.4f", res)
     return {"sWUGGY": res}
 
 
 def sblimp(model, data_path, used_token_modality, mean_nll=True, batch_size=1,
-           num_workers=8, pin_memory=True, subfolder=False):
+           num_workers=8, pin_memory=True, subfolder=False,
+           joint_pairs=False):
     dataset = ModellingMetricDataset(data_path, sep="+", subfolder=subfolder)
     assert len(dataset) > 0, f"no samples found for {data_path}"
     res = modelling_metric(model, dataset, used_token_modality, mean_nll,
-                           batch_size, num_workers, pin_memory)
+                           batch_size, num_workers, pin_memory,
+                           joint_pairs=joint_pairs)
     logger.info("sBLIMP: %.4f", res)
     return {"sBLIMP": res}
 
 
 def storycloze(model, data_path, used_token_modality, mean_nll=True,
-               batch_size=1, num_workers=8, pin_memory=True, subfolder=False):
+               batch_size=1, num_workers=8, pin_memory=True, subfolder=False,
+               joint_pairs=False):
     dataset = ModellingMetricDataset(data_path, sep="_", subfolder=subfolder)
     assert len(dataset) > 0, f"no samples found for {data_path}"
     res = modelling_metric(model, dataset, used_token_modality, mean_nll,
-                           batch_size, num_workers, pin_memory)
+                           batch_size, num_workers, pin_memory,
+                           joint_pairs=joint_pairs)
     logger.info("StoryCloze: %.4f", res)
     return {"StoryCloze": res}
 
@@ -182,7 +188,7 @@ SALMON_ALL_PARTS = [
 
 
 def salmon(model, salmon_path, used_token_modality, mean_nll, parts,
-           batch_size, num_workers=8, pin_memory=True):
+           batch_size, num_workers=8, pin_memory=True, joint_pairs=False):
     if parts[0] == "all":
         parts = SALMON_ALL_PARTS
     out = {}
@@ -190,7 +196,8 @@ def salmon(model, salmon_path, used_token_modality, mean_nll, parts,
         dataset = SalmonDataset(salmon_path, part)
         assert len(dataset) > 0, f"no samples found for {part}"
         cur = modelling_metric(model, dataset, used_token_modality, mean_nll,
-                               batch_size, num_workers, pin_memory)
+                               batch_size, num_workers, pin_memory,
+                               joint_pairs=joint_pairs)
         logger.info("SALMon - %s: %.4f", part, cur)
         out[part] = cur
     return out
