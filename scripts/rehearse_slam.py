@@ -31,9 +31,14 @@ ID_OFFSET = 2          # unit i -> token id i+2 (PAD=0, <S>=1)
 
 def gen_corpus(out_dir, total_tokens, seed=0, mean_len=500):
     """Vectorized Markov generation: step all sequences one position at a
-    time (columns are vectorized gathers over ~1e5 rows)."""
+    time (columns are vectorized gathers over ~1e5 rows).
+
+    The transition table is FIXED (its own rng) so train/val splits with
+    different seeds describe the same language — otherwise eval loss is
+    meaningless."""
+    succ = np.random.default_rng(12345).integers(
+        0, N_UNITS, size=(N_UNITS, 4), dtype=np.int32)
     rng = np.random.default_rng(seed)
-    succ = rng.integers(0, N_UNITS, size=(N_UNITS, 4), dtype=np.int32)
 
     n_seqs = int(total_tokens / mean_len)
     lens = np.clip(rng.lognormal(np.log(mean_len), 0.35, n_seqs), 32,
