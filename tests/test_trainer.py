@@ -332,3 +332,21 @@ def test_optimizer_variants_train(tmp_path, overrides):
     state = tr.train()
     assert state.global_step == 2
     assert all(np.isfinite(r["loss"]) for r in state.log_history if "loss" in r)
+
+
+def test_last_group_flushes_on_epoch_budget(tmp_path):
+    """num_train_epochs mode with the data stream ending right as the final
+    accumulation group is staged: the pipelined loop must flush and step it
+    (not drop it on the floor)."""
+    model = tiny_model()
+    # 8 rows x ctx 32, global batch 8 (8 devices x 1), accum 2 -> the stream
+    # yields exactly 2 groups per epoch
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(2, 64, size=32).tolist() for _ in range(32)]
+    ds = TokenDataset.from_lists(seqs)
+    args = train_args(tmp_path, gradient_accumulation_steps=2)
+    args.max_steps = None
+    args.num_train_epochs = 1
+    tr = SLAMTrainer(model, args, ds, context_len=32)
+    state = tr.train()
+    assert state.global_step == tr.total_steps == 2
