@@ -94,6 +94,9 @@ def train(cfg):
         eval_dataset=ds.get("validation"),
         callbacks=callbacks,
         packing=bool(cfg.data.get("packing", False)),
+        # bestfit bin-packing reaches ~97.5% row occupancy (greedy in-order:
+        # ~73% on ~500-token utterances) — 1.33x real-token throughput
+        packing_strategy=cfg.data.get("packing_strategy", "bestfit"),
         context_len=cfg.model.context_len,
         log_fn=log_fn,
     )

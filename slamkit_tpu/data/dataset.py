@@ -549,10 +549,99 @@ def _assemble_packed(ds: TokenDataset, sel: np.ndarray, rows: np.ndarray,
     buffers["positions"].reshape(-1)[dst_idx] = r.astype(np.int32)
 
 
+def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
+                  batch_size: int, pad_id: int, skip_batches: int,
+                  row_perm_seed: Optional[int]
+                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Best-fit-decreasing slab packing (see pack_into_rows). Rows close at
+    slab boundaries (no carry); batches may span slabs."""
+    from ..native.pack import bestfit_pack
+
+    B, T = batch_size, context_len
+    order = np.asarray(order, dtype=np.int64)
+
+    def fresh():
+        return {"input_ids": np.full((B, T), pad_id, np.int32),
+                "labels": np.full((B, T), IGNORE_INDEX, np.int32),
+                "segment_ids": np.full((B, T), -1, np.int32),
+                "positions": np.zeros((B, T), np.int32)}
+
+    def finalize(buffers):
+        buffers["num_items_in_batch"] = np.int32(
+            (buffers["labels"] != IGNORE_INDEX).sum())
+        return buffers
+
+    buffers = fresh()
+    cur_batch = 0
+    dirty = False
+    row_base = 0
+
+    for slab_i, lo in enumerate(range(0, len(order), _SLAB)):
+        sel = order[lo:lo + _SLAB]
+        lens = np.minimum(ds.lengths[sel], T)
+        nonzero = lens > 0
+        sel, lens = sel[nonzero], lens[nonzero]
+        if len(sel) == 0:
+            continue
+        rows, cols, n_rows = bestfit_pack(lens, T)
+        if row_perm_seed is not None:
+            # kill the length ordering BFD imposes on row creation order so
+            # batch composition stays random across the epoch
+            perm = np.random.default_rng(
+                (int(row_perm_seed), slab_i)).permutation(n_rows)
+            rows = perm[rows]
+        ord2 = np.lexsort((cols, rows))
+        sel, lens = sel[ord2], lens[ord2]
+        rows, cols = rows[ord2], cols[ord2]
+        first_of_row = np.r_[True, rows[1:] != rows[:-1]]
+        row_group_start = np.maximum.accumulate(
+            np.where(first_of_row, np.arange(len(rows)), 0))
+        segs = np.arange(len(rows)) - row_group_start
+        rows = rows + row_base
+        row_base += n_rows
+
+        batch_ids = rows // B
+        b_lo = 0
+        while b_lo < len(rows):
+            b = int(batch_ids[b_lo])
+            b_hi = int(np.searchsorted(batch_ids, b + 1))
+            if b != cur_batch:
+                if dirty and cur_batch >= skip_batches:
+                    yield finalize(buffers)
+                    buffers = fresh()
+                cur_batch, dirty = b, False
+            if b >= skip_batches:
+                _assemble_packed(ds, sel[b_lo:b_hi], rows[b_lo:b_hi] - b * B,
+                                 cols[b_lo:b_hi], segs[b_lo:b_hi],
+                                 lens[b_lo:b_hi], buffers)
+            dirty = True
+            b_lo = b_hi
+    if dirty and cur_batch >= skip_batches:
+        yield finalize(buffers)
+
+
+def bestfit_pack_rows_per_epoch(ds: TokenDataset, order: np.ndarray,
+                                context_len: int) -> int:
+    """Total bestfit rows over the slab structure (steps-per-epoch
+    accounting; must mirror _pack_bestfit's slabbing exactly)."""
+    from ..native.pack import bestfit_pack
+
+    order = np.asarray(order, dtype=np.int64)
+    total = 0
+    for lo in range(0, len(order), _SLAB):
+        lens = np.minimum(ds.lengths[order[lo:lo + _SLAB]], context_len)
+        lens = lens[lens > 0]
+        if len(lens):
+            total += bestfit_pack(lens, context_len)[2]
+    return total
+
+
 def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
                    batch_size: int, pad_id: int,
-                   skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """Greedy sequential packing of whole sequences into [B, context_len] rows.
+                   skip_batches: int = 0, strategy: str = "greedy",
+                   row_perm_seed: Optional[int] = None
+                   ) -> Iterator[Dict[str, np.ndarray]]:
+    """Packing of whole sequences into [B, context_len] rows.
 
     The TPU replacement for DataCollatorWithFlattening (reference
     hf_dataset.py:61-62): instead of one variable-length row per minibatch,
@@ -560,11 +649,21 @@ def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
     mask the first token of every segment with -100 (no cross-document
     prediction) and all padding.
 
-    Runs slab-wise: the greedy row assignment is the C++ recurrence
-    (native/pack.cpp), assembly is vectorized numpy — no per-sequence Python.
+    strategy='greedy' is the sequential in-order recurrence; 'bestfit' packs
+    each 64k-sequence slab with best-fit-decreasing (~97.5% occupancy vs
+    greedy's ~73% on ~500-token utterances — 1.33x real-token throughput),
+    then deterministically permutes the slab's rows (row_perm_seed) so batch
+    composition is not length-ordered. Both run slab-wise: the row
+    assignment is C++ (native/pack.cpp), assembly is vectorized numpy.
     skip_batches skips the assembly (not the assignment) of the first k
     batches, making resume fast-forward cheap.
     """
+    if strategy == "bestfit":
+        yield from _pack_bestfit(ds, order, context_len, batch_size, pad_id,
+                                 skip_batches, row_perm_seed)
+        return
+    if strategy != "greedy":
+        raise ValueError(f"unknown packing strategy: {strategy!r}")
     from ..native.pack import greedy_pack
 
     B, T = batch_size, context_len
@@ -675,12 +774,13 @@ class Batcher:
 
     def __init__(self, ds: TokenDataset, batch_size: int, context_len: int,
                  pad_id: int, packing: bool = False, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, packing_strategy: str = "bestfit"):
         self.ds = ds
         self.batch_size = batch_size
         self.context_len = context_len
         self.pad_id = pad_id
         self.packing = packing
+        self.packing_strategy = packing_strategy
         self.shuffle = shuffle
         self.seed = seed
 
@@ -691,18 +791,30 @@ class Batcher:
         return order
 
     def epoch(self, epoch: int = 0, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        gen = (pack_into_rows if self.packing else pad_into_rows)(
-            self.ds, self._order(epoch), self.context_len, self.batch_size,
-            self.pad_id, skip_batches=skip_batches)
+        if self.packing:
+            gen = pack_into_rows(
+                self.ds, self._order(epoch), self.context_len, self.batch_size,
+                self.pad_id, skip_batches=skip_batches,
+                strategy=self.packing_strategy,
+                row_perm_seed=self.seed * 1_000_003 + epoch)
+        else:
+            gen = pad_into_rows(
+                self.ds, self._order(epoch), self.context_len, self.batch_size,
+                self.pad_id, skip_batches=skip_batches)
         yield from gen
 
     def batches_per_epoch(self) -> int:
         if self.packing:
-            from ..native.pack import greedy_pack_count
-
-            # exact, via the O(rows) greedy recurrence — no batch assembly.
+            # exact, via the O(rows) assignment — no batch assembly.
             # The row count depends on the order, so use epoch 0's.
-            lens = np.minimum(self.ds.lengths[self._order(0)], self.context_len)
-            n_rows = greedy_pack_count(lens, self.context_len)
+            if self.packing_strategy == "bestfit":
+                n_rows = bestfit_pack_rows_per_epoch(
+                    self.ds, self._order(0), self.context_len)
+            else:
+                from ..native.pack import greedy_pack_count
+
+                lens = np.minimum(self.ds.lengths[self._order(0)],
+                                  self.context_len)
+                n_rows = greedy_pack_count(lens, self.context_len)
             return (n_rows + self.batch_size - 1) // self.batch_size
         return (len(self.ds) + self.batch_size - 1) // self.batch_size

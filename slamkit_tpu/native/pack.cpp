@@ -9,7 +9,10 @@
 // gather/scatter into the [B, T] batch) is vectorized numpy.
 //
 // Build: g++ -O2 -shared -fPIC pack.cpp -o libskpack.so
+#include <algorithm>
 #include <cstdint>
+#include <map>
+#include <vector>
 
 extern "C" {
 
@@ -33,6 +36,44 @@ void sk_greedy_pack(const int64_t* lens, int64_t n, int64_t T,
   }
   state_out[0] = row;
   state_out[1] = col;
+}
+
+// Best-fit-decreasing bin packing (the high-occupancy planner).
+//
+// Greedy in-order packing of ~500-token utterances into 1024-token rows
+// leaves ~27% of every batch as padding (measured on the Slam rehearsal
+// corpus); BFD reaches ~97.5% occupancy — a 1.33x real-token throughput
+// gain at identical compute. Sequences are sorted by length descending
+// (ties by original index, deterministic) and each is placed into the open
+// row with the SMALLEST remaining capacity that still fits (multimap
+// lower_bound), else a new row opens. Outputs are per ORIGINAL index.
+// Returns the number of rows.
+int64_t sk_bestfit_pack(const int64_t* lens, int64_t n, int64_t T,
+                        int64_t* rows, int64_t* cols) {
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+  std::stable_sort(idx.begin(), idx.end(),
+                   [&](int64_t a, int64_t b) { return lens[a] > lens[b]; });
+  std::multimap<int64_t, int64_t> caps;  // remaining capacity -> row id
+  int64_t n_rows = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t i = idx[k];
+    int64_t len = lens[i];
+    auto it = caps.lower_bound(len);
+    if (it != caps.end()) {
+      int64_t row = it->second, rem = it->first;
+      caps.erase(it);
+      rows[i] = row;
+      cols[i] = T - rem;
+      caps.emplace(rem - len, row);
+    } else {
+      rows[i] = n_rows;
+      cols[i] = 0;
+      caps.emplace(T - len, n_rows);
+      ++n_rows;
+    }
+  }
+  return n_rows;
 }
 
 // Row count only (for steps-per-epoch accounting without assembling batches).

@@ -54,7 +54,7 @@ class SLAMTrainer:
                  eval_dataset: Optional[TokenDataset] = None,
                  callbacks: Optional[List[TrainerCallback]] = None,
                  packing: bool = False, context_len: Optional[int] = None,
-                 log_fn=None, mesh=None):
+                 log_fn=None, mesh=None, packing_strategy: str = "bestfit"):
         self.model = model
         self.args = args
         self.callbacks = callbacks or []
@@ -78,7 +78,8 @@ class SLAMTrainer:
         self.train_batcher = Batcher(
             train_dataset, self.global_batch, self.context_len,
             pad_id=model.config.pad_token_id, packing=packing,
-            shuffle=True, seed=int(args.get("seed", 0)))
+            shuffle=True, seed=int(args.get("seed", 0)),
+            packing_strategy=packing_strategy)
         self.eval_batcher = None
         if eval_dataset is not None and len(eval_dataset):
             self.eval_batcher = Batcher(
@@ -86,7 +87,8 @@ class SLAMTrainer:
                 int(args.get("per_device_eval_batch_size",
                              args.per_device_train_batch_size)) * n_data,
                 self.context_len, pad_id=model.config.pad_token_id,
-                packing=packing, shuffle=False)
+                packing=packing, shuffle=False,
+                packing_strategy=packing_strategy)
 
         # -- steps accounting ------------------------------------------------
         max_steps = int(args.get("max_steps", -1) or -1)

@@ -410,3 +410,61 @@ def test_interleave_spills_to_memmap(tmp_path):
     assert isinstance(spilled.tokens, np.memmap)
     assert np.array_equal(np.asarray(spilled.tokens), np.asarray(in_ram.tokens))
     assert np.array_equal(spilled.offsets, in_ram.offsets)
+
+
+def test_bestfit_packing_occupancy_and_coverage():
+    """bestfit packs the same epoch into far fewer rows than greedy (>=95%
+    occupancy on utterance-like lengths), covers every sequence exactly
+    once, and is deterministic."""
+    from slamkit_tpu.data.dataset import pack_into_rows
+
+    rng = np.random.default_rng(0)
+    lens = np.clip(rng.lognormal(np.log(50), 0.4, 400), 8, 110).astype(int)
+    seqs = [rng.integers(2, 500, n).tolist() for n in lens]
+    ds = make_ds(seqs)
+    order = rng.permutation(len(ds))
+    T, B = 128, 4
+
+    def run(strategy):
+        return list(pack_into_rows(ds, order, T, B, pad_id=0,
+                                   strategy=strategy, row_perm_seed=7))
+
+    greedy = run("greedy")
+    bf = run("bestfit")
+    bf2 = run("bestfit")
+
+    def real_tokens(batches):
+        return np.concatenate([b["input_ids"][b["segment_ids"] >= 0]
+                               for b in batches])
+
+    # identical multiset of tokens, every sequence placed exactly once
+    assert sorted(real_tokens(greedy).tolist()) == sorted(real_tokens(bf).tolist())
+    assert sum(b["num_items_in_batch"] for b in bf) == \
+           sum(b["num_items_in_batch"] for b in greedy)
+    # determinism
+    for a, b in zip(bf, bf2):
+        for k in a:
+            assert np.array_equal(a[k], b[k])
+    # occupancy: count rows actually used
+    used_rows = sum(int((b["segment_ids"] >= 0).any(axis=1).sum()) for b in bf)
+    occ = float(sum(np.minimum(lens, T)) / (used_rows * T))
+    used_rows_greedy = sum(int((b["segment_ids"] >= 0).any(axis=1).sum())
+                           for b in greedy)
+    assert occ >= 0.95
+    assert used_rows < used_rows_greedy
+    # segment isolation: within every row, positions restart per segment
+    for b in bf:
+        for row_sid, row_pos in zip(b["segment_ids"], b["positions"]):
+            for s in np.unique(row_sid[row_sid >= 0]):
+                pos = row_pos[row_sid == s]
+                assert np.array_equal(pos, np.arange(len(pos)))
+
+
+def test_bestfit_batches_per_epoch_matches_stream():
+    rng = np.random.default_rng(1)
+    seqs = [rng.integers(2, 500, rng.integers(5, 60)).tolist()
+            for _ in range(300)]
+    ds = make_ds(seqs)
+    b = Batcher(ds, batch_size=4, context_len=64, pad_id=0, packing=True,
+                seed=0, packing_strategy="bestfit")
+    assert b.batches_per_epoch() == sum(1 for _ in b.epoch(0))
