@@ -115,6 +115,11 @@ def main():
               f"in {time.time() - t0:.0f}s")
 
     out = os.path.join(args.root, "out")
+    # an --extra training_args.output_dir=... override wins (the summary
+    # must read the run that actually happened)
+    for ov in args.extra:
+        if ov.startswith("training_args.output_dir="):
+            out = ov.split("=", 1)[1]
     cmd = [sys.executable, os.path.join(REPO, "cli/train.py"),
            "model=slam",
            f"data.saved_ds_path={ds_dir}",
