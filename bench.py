@@ -45,7 +45,19 @@ def main():
     import optax
 
     params = jax.device_put(model.params)
-    tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adamw(1e-3))
+    # the recipe's measured optimum: bf16 AdamW moments (docs/SLAM.md) —
+    # half the optimizer-state HBM traffic per step at equal convergence
+    from slamkit_tpu.trainer.optim import make_optimizer
+
+    class _A(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    tx, _ = make_optimizer(_A({"learning_rate": 1e-3, "max_grad_norm": 0.5,
+                               "lr_scheduler_type": "constant",
+                               "optim": "adamw_torch",
+                               "optim_state_dtype": "bfloat16"}),
+                           total_steps=17625)
     opt_state = jax.device_put(tx.init(params))
 
     from functools import partial
@@ -73,7 +85,9 @@ def main():
     params, opt_state, loss = step(params, opt_state, batch)
     float(loss)
 
-    n_steps = 4
+    # enough timed steps that the single final device->host pull (a full
+    # RTT on the tunnel backend) is amortized to <1% of the measurement
+    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, batch)
