@@ -4,7 +4,9 @@ Measured on v5e: ~2,750 audio-hours/hour/chip.
 
 Run on the TPU: python scripts/bench_tokenise.py
 """
-import time, numpy as np, jax, jax.numpy as jnp
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
 from slamkit_tpu.feature_extractor.hubert_jax import HubertConfig, forward
 from slamkit_tpu.feature_extractor.kmeans import assign_clusters
 
