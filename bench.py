@@ -51,7 +51,10 @@ def main():
 
     class _A(dict):
         def __getattr__(self, k):
-            return self[k]
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k) from None
 
     tx, _ = make_optimizer(_A({"learning_rate": 1e-3, "max_grad_norm": 0.5,
                                "lr_scheduler_type": "constant",

@@ -76,7 +76,10 @@ def run_one(name, remat, optim, state_dtype, remat_policy, remat_layers,
 
     class A(dict):
         def __getattr__(self, k):
-            return self[k]
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k) from None
 
     tx, _ = make_optimizer(A(args), total_steps=1000)
 

@@ -69,20 +69,23 @@ def gen_corpora(root, total_tokens):
     wsucc = np.random.default_rng(54321).integers(0, N_WORDS, (N_WORDS, 4),
                                                   dtype=np.int32)
 
-    def chain(succ, n, start):
-        s = start
-        out = np.empty(n, np.int32)
-        draws = rng.integers(0, 4, n)
-        for i in range(n):
-            out[i] = s
-            s = succ[s, draws[i]]
-        return out
+    def chains(succ, lens, starts):
+        """Vectorized column-wise Markov stepping (rehearse_slam.gen_corpus
+        pattern): all sequences advance one position per iteration."""
+        n_seq, max_len = len(lens), int(max(lens))
+        cols = np.empty((max_len, n_seq), np.int32)
+        states = np.asarray(starts, np.int32).copy()
+        draws = rng.integers(0, 4, size=(max_len, n_seq), dtype=np.int8)
+        for t in range(max_len):
+            cols[t] = states
+            states = succ[states, draws[t]]
+        return [cols[:lens[i], i] for i in range(n_seq)]
 
-    def unit_str(n, start):
-        return "".join(f"<Un{u}>" for u in chain(usucc, n, start))
+    def unit_str(units):
+        return "".join(f"<Un{u}>" for u in units)
 
-    def word_str(n, start):
-        return " ".join(f"w{w}" for w in chain(wsucc, n, start))
+    def word_str(words):
+        return " ".join(f"w{w}" for w in words)
 
     # token-balanced thirds, ~500 tokens per row
     per = total_tokens // 3
@@ -92,31 +95,42 @@ def gen_corpora(root, total_tokens):
         paths[name] = path
         if os.path.isfile(path):
             continue
-        done = 0
+        n_rows = max(per // 500, 1)
+        lens = rng.integers(300, 700, n_rows)
+        if name == "speech":
+            seqs = chains(usucc, lens, rng.integers(0, N_UNITS, n_rows))
+            reprs = ("<speech>" + unit_str(s) for s in seqs)
+        elif name == "text":
+            seqs = chains(wsucc, lens, rng.integers(0, N_WORDS, n_rows))
+            reprs = ("<text>" + word_str(s) for s in seqs)
+        else:  # alternating spans, SpiritLM-style
+            # pre-generate span pools, then stitch alternating spans per row
+            span = 50
+            n_spans = int(lens.sum()) // span + n_rows + 2
+            upool = chains(usucc, [span] * (n_spans // 2 + 1),
+                           rng.integers(0, N_UNITS, n_spans // 2 + 1))
+            wpool = chains(wsucc, [span] * (n_spans // 2 + 1),
+                           rng.integers(0, N_WORDS, n_spans // 2 + 1))
+            ui = wi = 0
+
+            def make_row(n, mod):
+                nonlocal ui, wi
+                parts = []
+                for _ in range(max(n // span, 1)):
+                    if mod:
+                        parts.append("<speech>" + unit_str(upool[ui]))
+                        ui += 1
+                    else:
+                        parts.append("<text>" + word_str(wpool[wi]))
+                        wi += 1
+                    mod ^= 1
+                return "".join(parts)
+
+            reprs = (make_row(int(n), int(rng.integers(2))) for n in lens)
         with open(path, "w") as f:
-            while done < per:
-                n = int(rng.integers(300, 700))
-                if name == "speech":
-                    s = "<speech>" + unit_str(n, int(rng.integers(N_UNITS)))
-                elif name == "text":
-                    s = "<text>" + word_str(n, int(rng.integers(N_WORDS)))
-                else:  # alternating spans, SpiritLM-style
-                    parts, left = [], n
-                    mod = rng.integers(2)
-                    while left > 0:
-                        k = int(min(left, rng.integers(20, 80)))
-                        if mod:
-                            parts.append("<speech>" + unit_str(
-                                k, int(rng.integers(N_UNITS))))
-                        else:
-                            parts.append("<text>" + word_str(
-                                k, int(rng.integers(N_WORDS))))
-                        left -= k
-                        mod ^= 1
-                    s = "".join(parts)
-                f.write(json.dumps({"file_name": f"{name}_{done}",
+            for i, s in enumerate(reprs):
+                f.write(json.dumps({"file_name": f"{name}_{i}",
                                     "audio_repr": s}) + "\n")
-                done += n
     return [paths["text"], paths["inter"], paths["speech"]]
 
 

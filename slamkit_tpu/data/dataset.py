@@ -549,33 +549,16 @@ def _assemble_packed(ds: TokenDataset, sel: np.ndarray, rows: np.ndarray,
     buffers["positions"].reshape(-1)[dst_idx] = r.astype(np.int32)
 
 
-def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
-                  batch_size: int, pad_id: int, skip_batches: int,
-                  row_perm_seed: Optional[int]
-                  ) -> Iterator[Dict[str, np.ndarray]]:
-    """Best-fit-decreasing slab packing (see pack_into_rows). Rows close at
-    slab boundaries (no carry); batches may span slabs."""
+def _bestfit_slabs(ds: TokenDataset, order: np.ndarray, context_len: int,
+                   row_perm_seed: Optional[int]):
+    """Shared slab-wise BFD row assignment: yields (sel, lens, rows, cols,
+    segs) per slab with GLOBALLY monotone row ids. The single source of
+    slabbing truth for both the batch stream and the row-count accounting."""
     from ..native.pack import bestfit_pack
 
-    B, T = batch_size, context_len
+    T = context_len
     order = np.asarray(order, dtype=np.int64)
-
-    def fresh():
-        return {"input_ids": np.full((B, T), pad_id, np.int32),
-                "labels": np.full((B, T), IGNORE_INDEX, np.int32),
-                "segment_ids": np.full((B, T), -1, np.int32),
-                "positions": np.zeros((B, T), np.int32)}
-
-    def finalize(buffers):
-        buffers["num_items_in_batch"] = np.int32(
-            (buffers["labels"] != IGNORE_INDEX).sum())
-        return buffers
-
-    buffers = fresh()
-    cur_batch = 0
-    dirty = False
     row_base = 0
-
     for slab_i, lo in enumerate(range(0, len(order), _SLAB)):
         sel = order[lo:lo + _SLAB]
         lens = np.minimum(ds.lengths[sel], T)
@@ -597,9 +580,35 @@ def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
         row_group_start = np.maximum.accumulate(
             np.where(first_of_row, np.arange(len(rows)), 0))
         segs = np.arange(len(rows)) - row_group_start
-        rows = rows + row_base
+        yield sel, lens, rows + row_base, cols, segs
         row_base += n_rows
 
+
+def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
+                  batch_size: int, pad_id: int, skip_batches: int,
+                  row_perm_seed: Optional[int]
+                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Best-fit-decreasing slab packing (see pack_into_rows). Rows close at
+    slab boundaries (no carry); batches may span slabs."""
+    B, T = batch_size, context_len
+
+    def fresh():
+        return {"input_ids": np.full((B, T), pad_id, np.int32),
+                "labels": np.full((B, T), IGNORE_INDEX, np.int32),
+                "segment_ids": np.full((B, T), -1, np.int32),
+                "positions": np.zeros((B, T), np.int32)}
+
+    def finalize(buffers):
+        buffers["num_items_in_batch"] = np.int32(
+            (buffers["labels"] != IGNORE_INDEX).sum())
+        return buffers
+
+    buffers = fresh()
+    cur_batch = 0
+    dirty = False
+
+    for sel, lens, rows, cols, segs in _bestfit_slabs(ds, order, T,
+                                                      row_perm_seed):
         batch_ids = rows // B
         b_lo = 0
         while b_lo < len(rows):
@@ -622,17 +631,11 @@ def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
 
 def bestfit_pack_rows_per_epoch(ds: TokenDataset, order: np.ndarray,
                                 context_len: int) -> int:
-    """Total bestfit rows over the slab structure (steps-per-epoch
-    accounting; must mirror _pack_bestfit's slabbing exactly)."""
-    from ..native.pack import bestfit_pack
-
-    order = np.asarray(order, dtype=np.int64)
+    """Total bestfit rows (steps-per-epoch accounting) — shares
+    _bestfit_slabs with the batch stream, so they cannot desynchronize."""
     total = 0
-    for lo in range(0, len(order), _SLAB):
-        lens = np.minimum(ds.lengths[order[lo:lo + _SLAB]], context_len)
-        lens = lens[lens > 0]
-        if len(lens):
-            total += bestfit_pack(lens, context_len)[2]
+    for _, _, rows, _, _ in _bestfit_slabs(ds, order, context_len, None):
+        total = int(rows[-1]) + 1
     return total
 
 
@@ -650,7 +653,7 @@ def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
     prediction) and all padding.
 
     strategy='greedy' is the sequential in-order recurrence; 'bestfit' packs
-    each 64k-sequence slab with best-fit-decreasing (~97.5% occupancy vs
+    each 256k-sequence slab with best-fit-decreasing (~97.5% occupancy vs
     greedy's ~73% on ~500-token utterances — 1.33x real-token throughput),
     then deterministically permutes the slab's rows (row_perm_seed) so batch
     composition is not length-ordered. Both run slab-wise: the row

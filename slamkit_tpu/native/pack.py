@@ -105,27 +105,33 @@ def bestfit_pack(lens: np.ndarray, context_len: int
         return rows, cols, n_rows
     import bisect
 
+    # tie-break parity with the C++ multimap: among equal capacities the
+    # EARLIEST-inserted row wins (emplace appends to the equal range,
+    # lower_bound picks its front), so key entries by (capacity, insertion
+    # sequence number) — bit-identical assignments either path
     order = np.argsort(-lens, kind="stable")
-    caps: list = []      # sorted remaining capacities
+    caps: list = []      # sorted (remaining capacity, insert_seq)
     cap_row: list = []   # row id aligned with caps
     n_rows = 0
+    seq = 0
     for i in order:
         ln = int(lens[i])
-        j = bisect.bisect_left(caps, ln)
+        j = bisect.bisect_left(caps, (ln, -1))
         if j < len(caps):
-            rem, row = caps.pop(j), cap_row.pop(j)
+            (rem, _), row = caps.pop(j), cap_row.pop(j)
             rows[i] = row
             cols[i] = context_len - rem
-            k = bisect.bisect_left(caps, rem - ln)
-            caps.insert(k, rem - ln)
-            cap_row.insert(k, row)
+            entry = (rem - ln, seq)
         else:
-            rows[i] = n_rows
+            row = n_rows
+            rows[i] = row
             cols[i] = 0
-            k = bisect.bisect_left(caps, context_len - ln)
-            caps.insert(k, context_len - ln)
-            cap_row.insert(k, n_rows)
+            entry = (context_len - ln, seq)
             n_rows += 1
+        seq += 1
+        k = bisect.bisect_left(caps, entry)
+        caps.insert(k, entry)
+        cap_row.insert(k, row)
     return rows, cols, n_rows
 
 

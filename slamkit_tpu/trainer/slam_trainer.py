@@ -237,6 +237,12 @@ class SLAMTrainer:
                 json.dump({"global_step": self.state.global_step,
                            "epoch": self.state.epoch,
                            "data_pos": list(data_pos),
+                           # resume fast-forwards batch-by-batch through the
+                           # SAME stream; a different packing strategy would
+                           # silently skip/duplicate data (see load_checkpoint)
+                           "packing_strategy": (
+                               self.train_batcher.packing_strategy
+                               if self.train_batcher.packing else None),
                            "num_input_tokens_seen": self.state.num_input_tokens_seen,
                            "log_history": self.state.log_history[-50:]}, f)
             try:  # HF-style export (may be impossible for fsdp multihost shards)
@@ -283,6 +289,16 @@ class SLAMTrainer:
         self.state.epoch = st["epoch"]
         self.state.num_input_tokens_seen = st["num_input_tokens_seen"]
         self.state.log_history = st.get("log_history", [])
+        saved_strategy = st.get("packing_strategy")
+        if (saved_strategy is not None and self.train_batcher.packing
+                and saved_strategy != self.train_batcher.packing_strategy):
+            raise ValueError(
+                f"Checkpoint was trained with packing_strategy="
+                f"{saved_strategy!r} but this run uses "
+                f"{self.train_batcher.packing_strategy!r}: the resume "
+                f"fast-forward would replay a DIFFERENT batch stream "
+                f"(skipped/duplicated data). Set "
+                f"data.packing_strategy={saved_strategy} to continue this run.")
         if "data_pos" in st:
             self._data_pos = tuple(st["data_pos"])
         else:  # legacy checkpoints: derive (exact in pad mode)

@@ -468,3 +468,25 @@ def test_bestfit_batches_per_epoch_matches_stream():
     b = Batcher(ds, batch_size=4, context_len=64, pad_id=0, packing=True,
                 seed=0, packing_strategy="bestfit")
     assert b.batches_per_epoch() == sum(1 for _ in b.epoch(0))
+
+
+def test_bestfit_native_fallback_parity():
+    """C++ multimap and Python bisect fallback must produce IDENTICAL row
+    assignments (multihost processes may differ in native-lib availability;
+    the global batch stream must not)."""
+    import slamkit_tpu.native.pack as pk
+
+    if pk._load() is None:
+        pytest.skip("native packer unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        lens = rng.integers(5, 120, size=rng.integers(50, 400)).astype(np.int64)
+        native = pk.bestfit_pack(lens, 128)
+        lib, pk._lib, pk._failed = pk._lib, None, True
+        try:
+            fb = pk.bestfit_pack(lens, 128)
+        finally:
+            pk._lib, pk._failed = lib, False
+        assert np.array_equal(native[0], fb[0])
+        assert np.array_equal(native[1], fb[1])
+        assert native[2] == fb[2]

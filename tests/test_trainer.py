@@ -350,3 +350,18 @@ def test_last_group_flushes_on_epoch_budget(tmp_path):
     tr = SLAMTrainer(model, args, ds, context_len=32)
     state = tr.train()
     assert state.global_step == tr.total_steps == 2
+
+
+def test_resume_rejects_changed_packing_strategy(tmp_path):
+    """The resume fast-forward replays the recorded batch stream; silently
+    resuming under a different packing strategy would skip/duplicate data."""
+    ds = tiny_dataset(64)
+    args = train_args(tmp_path, max_steps=2)
+    args.save_steps = 0
+    tr = SLAMTrainer(tiny_model(), args, ds, packing=True, context_len=32,
+                     packing_strategy="bestfit")
+    tr.train()
+    tr2 = SLAMTrainer(tiny_model(), args, ds, packing=True, context_len=32,
+                      packing_strategy="greedy")
+    with pytest.raises(ValueError, match="packing_strategy"):
+        tr2.train(resume_from_checkpoint=True)
