@@ -294,16 +294,26 @@ def load_jsonl_rows(path_glob: str) -> Iterator[dict]:
 def load_token_dataset(path_glob: str, tokeniser,
                        spill_tokens: int = DEFAULT_SPILL_TOKENS,
                        spill_dir: Optional[str] = None) -> TokenDataset:
-    """jsonl rows -> prepare_sample -> TokenDataset
-    (reference parse_single_dataset, hf_dataset.py:93-97). Streams: rows are
-    tokenised one at a time into a TokenWriter, never a Python list of lists."""
+    """jsonl rows -> prepare_batch -> TokenDataset
+    (reference parse_single_dataset, hf_dataset.py:93-97; its num_proc
+    dataset.map parallelism is covered by chunked prepare_batch — the HF
+    fast tokenizer encodes a chunk Rust-parallel in one call). Streams:
+    chunks of rows flow through a TokenWriter, never a full Python list of
+    lists."""
     writer = TokenWriter(spill_tokens=spill_tokens, spill_dir=spill_dir)
+    chunk: List[dict] = []
+
+    def flush():
+        for ids in tokeniser.prepare_batch(chunk):
+            writer.append(ids)
+        chunk.clear()
+
     for row in load_jsonl_rows(path_glob):
-        ids = tokeniser.prepare_sample(row)["input_ids"]
-        # prepare_sample may return a [1, T] batch for a single string
-        if len(ids) and isinstance(ids[0], (list, np.ndarray)):
-            ids = ids[0]
-        writer.append(ids)
+        chunk.append(row)
+        if len(chunk) >= 2048:
+            flush()
+    if chunk:
+        flush()
     return writer.finish()
 
 

@@ -43,6 +43,19 @@ class AudioTokeniser(ABC):
     def prepare_sample(self, sample: dict, **kwargs) -> dict:
         """Dataset row with 'audio_repr' -> token ids."""
 
+    def prepare_batch(self, samples: list) -> list:
+        """Rows -> list of token-id sequences. Subclasses override with a
+        truly batched encode (the HF fast tokenizer releases the GIL and
+        runs Rust-parallel over a list); the default loops prepare_sample."""
+        import numpy as np
+
+        out = []
+        for s in samples:
+            ids = self.prepare_sample(s)["input_ids"]
+            out.append(ids[0] if len(ids)
+                       and isinstance(ids[0], (list, np.ndarray)) else ids)
+        return out
+
     @abstractmethod
     def decode_sample(self, tokens, output_modality: str = "SPEECH") -> Union[np.ndarray, str]:
         """Token ids -> unit array (SPEECH) or text (TEXT), dropping specials."""

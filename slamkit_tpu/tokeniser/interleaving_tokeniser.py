@@ -295,6 +295,13 @@ class InterleavingTokeniser(AudioTokeniser):
     def prepare_sample(self, sample: dict, **kwargs) -> dict:
         return self.string_tokenise(sample["audio_repr"], **kwargs)
 
+    def prepare_batch(self, samples: list) -> list:
+        # ONE batched Rust encode for the whole chunk (the fast tokenizer
+        # releases the GIL and parallelizes internally) — the serial
+        # per-row path dominates stage-3 startup at corpus scale
+        return self.text_tokeniser([s["audio_repr"] for s in samples],
+                                   add_special_tokens=True)["input_ids"]
+
     def decode_sample(self, tokens, output_modality: str = "SPEECH"):
         tokens = np.asarray(tokens).ravel()
         ignore = [self.text_tokeniser.pad_token_id,

@@ -134,6 +134,11 @@ class UnitTokeniser(AudioTokeniser):
     def prepare_sample(self, sample: dict, **kwargs) -> dict:
         return self.string_tokenise(sample["audio_repr"], **kwargs)
 
+    def prepare_batch(self, samples: list) -> list:
+        # one C++-codec pass over the whole chunk
+        return self.string_tokenise(
+            [s["audio_repr"] for s in samples])["input_ids"]
+
     def decode_sample(self, tokens, output_modality: str = "SPEECH") -> np.ndarray:
         tokens = np.asarray(tokens).ravel()
         keep = (tokens != self.pad_token_id) & (tokens != self.bos_token_id) & (tokens != self.eos_token_id)
