@@ -42,6 +42,9 @@ IGNORE_INDEX = -100
 _SLAB = 1 << 18
 # load_token_dataset spills the token buffer to disk past this many tokens
 DEFAULT_SPILL_TOKENS = 64 << 20  # 256 MB of int32
+# rows per prepare_batch call during jsonl loading: large enough to amortize
+# the Rust batch-encode dispatch, small enough to bound row-dict RSS
+TOKENISE_CHUNK_ROWS = 2048
 
 
 def _ranges(lens: np.ndarray) -> np.ndarray:
@@ -310,7 +313,7 @@ def load_token_dataset(path_glob: str, tokeniser,
 
     for row in load_jsonl_rows(path_glob):
         chunk.append(row)
-        if len(chunk) >= 2048:
+        if len(chunk) >= TOKENISE_CHUNK_ROWS:
             flush()
     if chunk:
         flush()

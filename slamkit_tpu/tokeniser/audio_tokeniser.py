@@ -47,8 +47,6 @@ class AudioTokeniser(ABC):
         """Rows -> list of token-id sequences. Subclasses override with a
         truly batched encode (the HF fast tokenizer releases the GIL and
         runs Rust-parallel over a list); the default loops prepare_sample."""
-        import numpy as np
-
         out = []
         for s in samples:
             ids = self.prepare_sample(s)["input_ids"]

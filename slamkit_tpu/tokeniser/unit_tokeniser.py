@@ -135,9 +135,8 @@ class UnitTokeniser(AudioTokeniser):
         return self.string_tokenise(sample["audio_repr"], **kwargs)
 
     def prepare_batch(self, samples: list) -> list:
-        # one C++-codec pass over the whole chunk
-        return self.string_tokenise(
-            [s["audio_repr"] for s in samples])["input_ids"]
+        # straight to the codec: no per-chunk attention_mask allocation
+        return [self._encode_one(s["audio_repr"]) for s in samples]
 
     def decode_sample(self, tokens, output_modality: str = "SPEECH") -> np.ndarray:
         tokens = np.asarray(tokens).ravel()

@@ -219,3 +219,16 @@ def test_batched_stringify_matches_sequential(text_tok_dir):
                 prev = "t"
         sequential.append(cur)
     assert batched == sequential
+
+
+def test_prepare_batch_matches_prepare_sample(tok):
+    """The batched Rust encode must be id-identical to per-row
+    prepare_sample (the stage-3 loader uses prepare_batch; jsonl stage
+    bit-compatibility rests on it)."""
+    rows = [{"audio_repr": "<text>the cat sat<speech><Un3><Un17><Un3>"},
+            {"audio_repr": "<speech><Un0><Un19>"},
+            {"audio_repr": "<text>a dog ran far away now"}]
+    batched = tok.prepare_batch(rows)
+    for row, ids in zip(rows, batched):
+        want = np.asarray(tok.prepare_sample(row)["input_ids"]).reshape(-1)
+        assert np.array_equal(np.asarray(ids), want)

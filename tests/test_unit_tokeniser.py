@@ -147,3 +147,16 @@ def test_native_codec_parity():
     assert back.tolist() == [int(u) for u in units] + [5, 12]
     assert native.string_to_units("").tolist() == []
     assert native.units_to_string([]) == ""
+
+
+def test_prepare_batch_matches_prepare_sample():
+    import numpy as np
+
+    from slamkit_tpu.tokeniser.unit_tokeniser import UnitTokeniser
+
+    tok = UnitTokeniser(None, num_units=20, load_fe=False)
+    rows = [{"audio_repr": "<Un3><Un17><Un3>"}, {"audio_repr": "<Un0>"}]
+    batched = tok.prepare_batch(rows)
+    for row, ids in zip(rows, batched):
+        want = np.asarray(tok.prepare_sample(row)["input_ids"][0]).reshape(-1)
+        assert np.array_equal(np.asarray(ids), want)
