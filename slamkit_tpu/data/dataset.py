@@ -820,9 +820,15 @@ class Batcher:
         yield from gen
 
     def batches_per_epoch(self) -> int:
+        """Batch count for EPOCH 0's shuffle order. Under packing the row
+        count depends on slab composition, so later epochs can differ by a
+        few batches in either direction (greedy and bestfit are both
+        order-sensitive) — callers deriving steps_per_epoch/total_steps from
+        this (SLAMTrainer) treat it as an estimate; the loop itself streams
+        batches and never trusts the count."""
         if self.packing:
-            # exact, via the O(rows) assignment — no batch assembly.
-            # The row count depends on the order, so use epoch 0's.
+            # exact for epoch 0, via the O(rows) assignment — no batch
+            # assembly.
             if self.packing_strategy == "bestfit":
                 n_rows = bestfit_pack_rows_per_epoch(
                     self.ds, self._order(0), self.context_len)

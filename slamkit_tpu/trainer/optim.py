@@ -111,11 +111,21 @@ def make_optimizer(args, total_steps: int):
     weight_decay = float(args.get("weight_decay", 0.0))
 
     if optim == "adafactor":
+        # optax.adafactor's weight_decay_rate is a MULTIPLICATIVE relative
+        # decay, not the lr-scaled decoupled decay the adamw path applies —
+        # build the chain explicitly so the same `weight_decay` config value
+        # means the same regularisation under both optimizers
+        # (scale_by_factored_rms + param-block scaling = adafactor with
+        # multiply_by_parameter_scale, clipping_threshold=None as before;
+        # scale_by_learning_rate supplies the final sign flip that
+        # optax.adafactor's trailing scale(-1) would)
         tx = optax.chain(
             clip,
-            optax.adafactor(learning_rate=schedule,
-                            weight_decay_rate=weight_decay or None,
-                            clipping_threshold=None))
+            optax.scale_by_factored_rms(),
+            optax.scale_by_param_block_rms(),
+            optax.add_decayed_weights(weight_decay) if weight_decay
+            else optax.identity(),
+            optax.scale_by_learning_rate(schedule))
         return tx, schedule
     if not optim.startswith("adamw"):
         raise ValueError(f"Unsupported optim: {optim!r} (adamw_*, adafactor)")

@@ -67,7 +67,13 @@ class SLAMTrainer:
         self.state = TrainerState()
         self.control = TrainerControl()
         self._data_pos = (0, 0)  # (epoch, microbatches consumed in epoch)
-        self._pending_count = 0  # microbatches consumed but not yet stepped
+        # (epoch, index) of every microbatch consumed from the stream but not
+        # yet stepped; entries carry their OWN epoch so a checkpoint saved
+        # right after an epoch roll still resumes at the oldest un-stepped
+        # microbatch of the PREVIOUS epoch instead of flooring at (e+1, 0)
+        from collections import deque
+
+        self._pending_positions = deque()
 
         # every process iterates the IDENTICAL global batch stream (shuffle is
         # seed-deterministic); each keeps only its own row shard at device_put
@@ -230,9 +236,10 @@ class SLAMTrainer:
         ckptr.save(os.path.join(path, "state"), self.train_state)
         ckptr.wait_until_finished()
         if self._proc == 0:
-            # host-side artifacts are process-0 only
-            data_pos = (self._data_pos[0],
-                        max(self._data_pos[1] - self._pending_count, 0))
+            # host-side artifacts are process-0 only; resume replays from the
+            # oldest consumed-but-unstepped microbatch (possibly last epoch)
+            data_pos = (tuple(self._pending_positions[0])
+                        if self._pending_positions else self._data_pos)
             with open(os.path.join(path, "trainer_state.json"), "w") as f:
                 json.dump({"global_step": self.state.global_step,
                            "epoch": self.state.epoch,
@@ -393,7 +400,7 @@ class SLAMTrainer:
         # Scheduled eval/save steps are static, so we drain before
         # dispatching past them; budget callbacks may observe their
         # threshold one step late (<=1 extra step on a 17k-step run).
-        # Un-stepped staged groups stay in _pending_count, so checkpoint
+        # Un-stepped staged groups stay in _pending_positions, so checkpoint
         # data_pos replays them on resume.
         inflight: Optional[tuple] = None  # (step_no, metrics future)
 
@@ -455,7 +462,8 @@ class SLAMTrainer:
                     return
             dev_batch = staged.result()
             staged = None
-            self._pending_count -= self.accum
+            for _ in range(self.accum):  # the staged group is the oldest
+                self._pending_positions.popleft()
             if profile_steps and state.global_step == profile_start and not profiling:
                 jax.profiler.start_trace(
                     os.path.join(args.output_dir, "profile"))
@@ -472,46 +480,52 @@ class SLAMTrainer:
                 process(inflight)
             inflight = (state.global_step, pull_pool.submit(np.asarray, metrics))
 
-        while state.global_step < self.total_steps and not control.should_training_stop:
-            yielded = 0
-            for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
-                yielded += 1
-                pending.append(batch)
-                self._data_pos = (epoch, self._data_pos[1] + 1)
-                self._pending_count += 1
-                if len(pending) < self.accum:
+        try:
+            while state.global_step < self.total_steps and not control.should_training_stop:
+                yielded = 0
+                for batch in self.train_batcher.epoch(epoch, skip_batches=skip):
+                    yielded += 1
+                    pending.append(batch)
+                    self._pending_positions.append((epoch, self._data_pos[1]))
+                    self._data_pos = (epoch, self._data_pos[1] + 1)
+                    if len(pending) < self.accum:
+                        continue
+                    stacked = _stack_microbatches(pending)
+                    pending = []
+                    # start this group's upload FIRST, then step the previous
+                    # group: the upload overlaps device compute
+                    fut = put_pool.submit(self._put_train_batch, stacked)
+                    if staged is not None:
+                        dispatch_staged()
+                    staged = fut
+                    if control.should_training_stop or state.global_step >= self.total_steps:
+                        break
+                else:  # epoch exhausted (no break): roll to the next epoch
+                    if yielded == 0 and not pending and skip == 0:
+                        # (skip > 0 just means we resumed at an epoch boundary)
+                        raise RuntimeError(
+                            "training dataset produced no batches (empty after "
+                            "filters?) — cannot make progress")
+                    epoch += 1
+                    skip = 0
+                    self._data_pos = (epoch, 0)
                     continue
-                stacked = _stack_microbatches(pending)
-                pending = []
-                # start this group's upload FIRST, then step the previous
-                # group: the upload overlaps device compute
-                fut = put_pool.submit(self._put_train_batch, stacked)
-                if staged is not None:
-                    dispatch_staged()
-                staged = fut
-                if control.should_training_stop or state.global_step >= self.total_steps:
-                    break
-            else:  # epoch exhausted (no break): roll to the next epoch
-                if yielded == 0 and not pending and skip == 0:
-                    # (skip > 0 just means we resumed at an epoch boundary)
-                    raise RuntimeError(
-                        "training dataset produced no batches (empty after "
-                        "filters?) — cannot make progress")
-                epoch += 1
-                skip = 0
-                self._data_pos = (epoch, 0)
-                continue
-            break
-        # flush the last staged group (data exhausted right after assembly)
-        while staged is not None and not control.should_training_stop \
-                and state.global_step < self.total_steps:
-            dispatch_staged()
-        staged = None
-        if inflight is not None:
-            process(inflight)
-            inflight = None
-        put_pool.shutdown(wait=True)
-        pull_pool.shutdown(wait=True)
+                break
+            # flush the last staged group (data exhausted right after assembly)
+            while staged is not None and not control.should_training_stop \
+                    and state.global_step < self.total_steps:
+                dispatch_staged()
+            staged = None
+            if inflight is not None:
+                process(inflight)
+                inflight = None
+            put_pool.shutdown(wait=True)
+            pull_pool.shutdown(wait=True)
+        finally:
+            # no-op on the clean path; on an exception this stops the worker
+            # threads and drops the in-flight device_put instead of leaking them
+            put_pool.shutdown(wait=False, cancel_futures=True)
+            pull_pool.shutdown(wait=False, cancel_futures=True)
 
         # final evaluate + save (a budget-boxed run always ends usable) —
         # skipped when a budget-stop callback already did both at this step

@@ -210,6 +210,40 @@ def test_checkpoint_resume_equivalence(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
 
 
+def test_resume_across_epoch_boundary(tmp_path):
+    """A checkpoint saved while an accumulation group straddles an epoch roll
+    must resume at the oldest consumed-but-unstepped microbatch of the
+    PREVIOUS epoch, not floor at (epoch+1, 0). 3 microbatches/epoch with
+    accum=2 makes every second group straddle; save_steps=1 forces the sync
+    drain so checkpoint-1 is written while the staged group holds
+    (epoch0, mb2)+(epoch1, mb0)."""
+    ds = tiny_dataset(24)  # 24 rows / global batch 8 = 3 microbatches/epoch
+
+    def run(out, resume=False, save_steps=0):
+        model = tiny_model()
+        args = train_args(tmp_path, gradient_accumulation_steps=2)
+        args.output_dir = str(out)
+        args.max_steps = 2
+        args.save_steps = save_steps
+        tr = SLAMTrainer(model, args, ds, context_len=32)
+        tr.train(resume_from_checkpoint=resume)
+        return model.params
+
+    p_straight = run(tmp_path / "a")
+    p_saved = run(tmp_path / "b", save_steps=1)
+    ckpt1 = str(tmp_path / "b" / "checkpoint-1")
+    with open(ckpt1 + "/trainer_state.json") as f:
+        saved = json.load(f)
+    # the resume point reaches BACK into epoch 0 (the straddling group)
+    assert saved["data_pos"] == [0, 2], saved
+    p_resumed = run(tmp_path / "c", resume=ckpt1)
+    for x, y, z in zip(jax.tree_util.tree_leaves(p_straight),
+                       jax.tree_util.tree_leaves(p_saved),
+                       jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), rtol=1e-5, atol=1e-6)
+
+
 def test_token_id_range_counting(tmp_path):
     model = tiny_model()
     ds = tiny_dataset()
@@ -332,6 +366,43 @@ def test_optimizer_variants_train(tmp_path, overrides):
     state = tr.train()
     assert state.global_step == 2
     assert all(np.isfinite(r["loss"]) for r in state.log_history if "loss" in r)
+
+
+def test_adafactor_descends_with_decoupled_decay(tmp_path):
+    """The explicit adafactor chain must (a) descend — optax.adafactor ends
+    in scale(-1), so naively appending scale_by_learning_rate would ASCEND —
+    and (b) apply `weight_decay` as lr-scaled decoupled decay like the adamw
+    path, not adafactor's multiplicative weight_decay_rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamkit_tpu.trainer.optim import make_optimizer
+
+    def run(optim, weight_decay):
+        args = train_args(tmp_path, optim=optim, weight_decay=weight_decay,
+                          learning_rate=0.05, lr_scheduler_type="constant",
+                          warmup_steps=0)
+        tx, _ = make_optimizer(args, total_steps=100)
+        params = {"w": jnp.array([4.0, -2.0, 7.0])}
+        loss_fn = lambda p: jnp.sum((p["w"] - 3.0) ** 2)
+        state = tx.init(params)
+        first = float(loss_fn(params))
+        for _ in range(100):
+            grads = jax.grad(loss_fn)(params)
+            updates, state = tx.update(grads, state, params)
+            params = optax_apply(params, updates)
+        return first, float(loss_fn(params)), params
+
+    import optax
+
+    def optax_apply(p, u):
+        return optax.apply_updates(p, u)
+
+    first, last, p_nodecay = run("adafactor", 0.0)
+    assert last < first * 0.05, (first, last)  # descends, by a lot
+    _, _, p_decay = run("adafactor", 1.0)
+    # decoupled decay pulls the optimum toward 0
+    assert float(jnp.abs(p_decay["w"]).sum()) < float(jnp.abs(p_nodecay["w"]).sum())
 
 
 def test_last_group_flushes_on_epoch_budget(tmp_path):
