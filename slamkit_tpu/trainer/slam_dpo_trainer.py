@@ -75,6 +75,11 @@ class SLAMDPOTrainer:
         self.beta = float(args.get("beta", 0.1))
         self.state = TrainerState()
         self.control = TrainerControl()
+        # multihost: identical global batch stream on every process, row
+        # shard kept at device-placement time (same single mechanism as
+        # SLAMTrainer._put_train_batch)
+        self._n_procs = jax.process_count()
+        self._proc = jax.process_index()
 
         tok_kwargs = dict(
             processing_class=tokenizer.text_tokeniser
@@ -164,14 +169,14 @@ class SLAMDPOTrainer:
         mesh = self.mesh
         self._param_sh = param_shardings(self.model.params, mesh,
                                          fsdp=bool(self.args.get("fsdp", False)))
-        rep = replicated(mesh)
         opt_state = self.tx.init(self.model.params)
-        shape_map = {}
-        for p, s in zip(jax.tree_util.tree_leaves(self.model.params),
-                        jax.tree_util.tree_leaves(self._param_sh)):
-            shape_map[p.shape] = s
-        opt_sh = jax.tree_util.tree_map(
-            lambda x: shape_map.get(getattr(x, "shape", None), rep), opt_state)
+        # moment pytrees mirror the params tree: match by path suffix, same
+        # mechanism as SLAMTrainer (a shape map would collapse same-shape
+        # params carrying different specs)
+        from ..parallel.mesh import opt_state_shardings
+
+        opt_sh = opt_state_shardings(opt_state, self.model.params,
+                                     self._param_sh, mesh)
         self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
         batch_sh = {k: NamedSharding(mesh, P("data"))
                     for k in ("input_ids", "completion_mask", "segment_ids")}
@@ -188,6 +193,19 @@ class SLAMDPOTrainer:
         self.ref_params = jax.device_put(
             jax.tree_util.tree_map(np.array, jax.device_get(self.model.params)),
             self._param_sh)
+
+    def _put_batch(self, host_batch: Dict[str, np.ndarray]):
+        """Place a [2B, T] host batch on the mesh; under multihost each
+        process contributes only its addressable row shard."""
+        if self._n_procs == 1:
+            return jax.device_put(host_batch, self._batch_sh)
+        rows = host_batch["input_ids"].shape[0] // self._n_procs
+        lo = self._proc * rows
+        return {
+            k: jax.make_array_from_process_local_data(
+                self._batch_sh[k], v[lo:lo + rows], v.shape)
+            for k, v in host_batch.items()
+        }
 
     def _log(self, record: dict):
         self.state.log_history.append(record)
@@ -207,8 +225,7 @@ class SLAMDPOTrainer:
             rows = rows + rows[:rem] if rem <= len(rows) else \
                 (rows * (-(-self.batch_size // len(rows))))[:self.batch_size]
         for start in range(0, len(rows) - self.batch_size + 1, self.batch_size):
-            batch = self._collate(rows[start:start + self.batch_size])
-            batch = jax.device_put(batch, self._batch_sh)
+            batch = self._put_batch(self._collate(rows[start:start + self.batch_size]))
             loss, metrics = self._eval_loss(self.train_state["params"],
                                             self.ref_params, batch)
             losses.append(float(loss))
@@ -218,7 +235,9 @@ class SLAMDPOTrainer:
         self._log({**out, "step": self.state.global_step})
         return out
 
-    # -- checkpointing (same layout as SLAMTrainer: orbax state + json) ------
+    # -- checkpointing (same layout AND hardening as SLAMTrainer: collective
+    # orbax save of the possibly-sharded state, process-0-only host
+    # artifacts, save_total_limit rotation) ---------------------------------
     def save_checkpoint(self):
         import json
         import os
@@ -228,18 +247,46 @@ class SLAMDPOTrainer:
 
         path = os.path.abspath(os.path.join(self.args.output_dir,
                                             f"checkpoint-{self.state.global_step}"))
-        if os.path.isdir(path):
+        if self._proc == 0 and os.path.isdir(path):
             shutil.rmtree(path)
+        if self._n_procs > 1:  # all procs must see the cleanup before saving
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("dpo_ckpt_clean")
+        # COLLECTIVE save: every process participates, passing the (possibly
+        # fsdp-sharded) device arrays directly — no device_get of shards a
+        # process cannot address
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "state"), jax.device_get(self.train_state))
+        ckptr.save(os.path.join(path, "state"), self.train_state)
         ckptr.wait_until_finished()
-        with open(os.path.join(path, "trainer_state.json"), "w") as f:
-            json.dump({"global_step": self.state.global_step,
-                       "epoch": self.state.epoch,
-                       "log_history": self.state.log_history[-50:]}, f)
-        self.model.params = jax.device_get(self.train_state["params"])
-        self.model.save_pretrained(path)
+        if self._proc == 0:
+            with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                json.dump({"global_step": self.state.global_step,
+                           "epoch": self.state.epoch,
+                           "log_history": self.state.log_history[-50:]}, f)
+            try:  # HF-style export (impossible for non-addressable shards)
+                self.model.params = jax.device_get(self.train_state["params"])
+                self.model.save_pretrained(path)
+            except Exception as e:
+                logger.warning("skipping model export (non-addressable "
+                               "shards?): %s", e)
+            self._rotate_checkpoints()
         logger.info("Saved DPO checkpoint %s", path)
+
+    def _rotate_checkpoints(self):
+        import os
+        import shutil
+
+        limit = self.args.get("save_total_limit", None)
+        if not limit:
+            return
+        out = self.args.output_dir
+        ckpts = sorted(
+            int(d.split("-")[1]) for d in os.listdir(out)
+            if d.startswith("checkpoint-") and d.split("-")[1].isdigit())
+        for step in ckpts[:-limit]:
+            shutil.rmtree(os.path.join(out, f"checkpoint-{step}"),
+                          ignore_errors=True)
 
     def _load_checkpoint(self, path):
         import json
@@ -248,10 +295,13 @@ class SLAMDPOTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        template = jax.device_get(self.train_state)
-        restored = ckptr.restore(os.path.abspath(os.path.join(path, "state")),
-                                 target=template)
-        self.train_state = jax.device_put(restored, self._state_sh)
+        # abstract target (shape/dtype/sharding) restores straight onto the
+        # mesh — works for replicated AND fsdp-sharded multihost state
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            self.train_state)
+        self.train_state = ckptr.restore(
+            os.path.abspath(os.path.join(path, "state")), target=template)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
         self.state.global_step = st["global_step"]
@@ -319,29 +369,34 @@ class SLAMDPOTrainer:
             if save_steps and state.global_step % save_steps == 0:
                 self.save_checkpoint()
 
-        while state.global_step < self.total_steps and not control.should_training_stop:
-            order = rng.permutation(n_rows)
-            if n_rows < self.batch_size:
-                order = np.tile(order, order_len // n_rows)
-            for b_idx, start in enumerate(
-                    range(0, len(order) - self.batch_size + 1, self.batch_size)):
-                if first_skip and b_idx < first_skip:
-                    continue
-                rows = [self.train_rows[i] for i in order[start:start + self.batch_size]]
-                fut = put_pool.submit(
-                    lambda r=rows: jax.device_put(self._collate(r), self._batch_sh))
-                if staged is not None:
-                    dispatch_staged()
-                staged = (fut, epoch, b_idx)
-                if control.should_training_stop or state.global_step >= self.total_steps:
-                    break
-            first_skip = 0
-            epoch += 1
-        while staged is not None and not control.should_training_stop \
-                and state.global_step < self.total_steps:
-            dispatch_staged()
-        staged = None
-        put_pool.shutdown(wait=True)
+        try:
+            while state.global_step < self.total_steps and not control.should_training_stop:
+                order = rng.permutation(n_rows)
+                if n_rows < self.batch_size:
+                    order = np.tile(order, order_len // n_rows)
+                for b_idx, start in enumerate(
+                        range(0, len(order) - self.batch_size + 1, self.batch_size)):
+                    if first_skip and b_idx < first_skip:
+                        continue
+                    rows = [self.train_rows[i] for i in order[start:start + self.batch_size]]
+                    fut = put_pool.submit(
+                        lambda r=rows: self._put_batch(self._collate(r)))
+                    if staged is not None:
+                        dispatch_staged()
+                    staged = (fut, epoch, b_idx)
+                    if control.should_training_stop or state.global_step >= self.total_steps:
+                        break
+                first_skip = 0
+                epoch += 1
+            while staged is not None and not control.should_training_stop \
+                    and state.global_step < self.total_steps:
+                dispatch_staged()
+            staged = None
+            put_pool.shutdown(wait=True)
+        finally:
+            # no-op on the clean path; on an exception this stops the upload
+            # thread and drops the in-flight device_put instead of leaking it
+            put_pool.shutdown(wait=False, cancel_futures=True)
         self.evaluate()
         self.save_checkpoint()
         for cb in self.callbacks:

@@ -93,6 +93,47 @@ def test_dpo_training_improves_margin(tmp_path):
     assert (tmp_path / "dpo" / "checkpoint-10").is_dir()
 
 
+def test_dpo_fsdp_train_and_collective_save(tmp_path):
+    """DPO under fsdp (ZeRO-3) on the 8-device mesh: the step runs, params
+    end up actually sharded, and save_checkpoint takes the COLLECTIVE path
+    (orbax gets the sharded device arrays directly — no device_get) and can
+    be restored. Also exercises save_total_limit rotation."""
+    import jax
+
+    tok = UnitTokeniser(load_fe=False, num_units=60)
+    rng = np.random.default_rng(2)
+    rows = [{"prompt": unit_str(rng.integers(0, 60, 5)),
+             "chosen": unit_str([7, 8, 9]),
+             "rejected": unit_str(rng.integers(20, 60, 4))} for _ in range(32)]
+    model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                vocab_size=64, twist_init=False,
+                                torch_dtype="float32"), seed=0)
+    args = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+        "data.train_path=/dev/null", "data.val_path=/dev/null",
+        f"training_args.output_dir={tmp_path}/dpo_fsdp",
+        "training_args.per_device_train_batch_size=1",
+        "training_args.max_steps=3", "training_args.logging_steps=1",
+        "training_args.save_steps=1", "training_args.save_total_limit=2",
+        "training_args.fsdp=true",
+    ]).training_args
+    tr = SLAMDPOTrainer(model, tok, args, rows)
+    state = tr.train()
+    assert state.global_step == 3
+    leaves = jax.tree_util.tree_leaves(tr.train_state["params"])
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
+    # rotation kept only the last save_total_limit checkpoints
+    kept = sorted(d for d in (tmp_path / "dpo_fsdp").iterdir()
+                  if d.name.startswith("checkpoint-"))
+    assert [d.name for d in kept] == ["checkpoint-2", "checkpoint-3"]
+    # the collective checkpoint restores onto the sharded mesh
+    tr2 = SLAMDPOTrainer(model, tok, args, rows)
+    tr2._load_checkpoint(str(tmp_path / "dpo_fsdp" / "checkpoint-3"))
+    assert tr2.state.global_step == 3
+    for x, y in zip(jax.tree_util.tree_leaves(tr.train_state["params"]),
+                    jax.tree_util.tree_leaves(tr2.train_state["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_dpo_checkpoint_resume_equivalence(tmp_path):
     from slamkit_tpu.trainer import TrainerCallback
 
