@@ -22,17 +22,37 @@ from .metric_utils import (get_judge, get_llm, get_llm_perplexity,
 logger = logging.getLogger(__name__)
 
 
-def _transcribe(whisper_pipeline, wavs) -> List[str]:
+def _transcribe(whisper_pipeline, wavs, batch_size: int) -> List[str]:
     """ASR over a batch, with EMPTY clips filtered BEFORE the pipeline call
-    (Whisper's feature extraction fails — or hallucinates — on empty audio)."""
+    (Whisper's feature extraction fails — or hallucinates — on empty audio).
+    The pipeline batch is capped at the configured batch_size (len(keep)
+    could be an arbitrarily large eval batch)."""
     wavs = [np.asarray(w, dtype=np.float32) for w in wavs]
     keep = [i for i, w in enumerate(wavs) if w.size > 0]
     texts = [""] * len(wavs)
     if keep:
-        outs = whisper_pipeline([wavs[i] for i in keep], batch_size=len(keep))
+        outs = whisper_pipeline([wavs[i] for i in keep],
+                                batch_size=min(len(keep), max(batch_size, 1)))
         for i, o in zip(keep, outs):
             texts[i] = o["text"]
     return texts
+
+
+def _resolve_torch_device(torch_device: Optional[str]) -> str:
+    """The reference runs Whisper/text-LM/judge on model.device (reference
+    generative_metric.py:120-121,149-150); here the SLM lives on TPU, so the
+    torch-side components take their own device: cfg metric.torch_device, or
+    cuda when available, else cpu."""
+    if torch_device:
+        return torch_device
+    try:
+        import torch
+
+        if torch.cuda.is_available():
+            return "cuda"
+    except Exception:
+        pass
+    return "cpu"
 
 
 def get_cut_location(alignment: List[Tuple[str, float, float]],
@@ -131,7 +151,7 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                    alignment_folder=None, use_alignment=False,
                    auto_bleu_n: int = 2, sample_rate=16000, num_files=None,
                    num_workers: int = 8, pin_memory: bool = True,
-                   **generate_kwargs):
+                   torch_device: Optional[str] = None, **generate_kwargs):
     """GenPPL: generate -> Whisper transcribe -> text-LM perplexity +
     auto-BLEU (reference generative_metric.py:108-135)."""
     from nltk.tokenize import NLTKWordTokenizer
@@ -143,19 +163,20 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                             alignment_folder=alignment_folder,
                             use_alignment=use_alignment)
     assert len(dataset) > 0, f"no samples found for {data_path}"
-    whisper_pipeline = get_whisper_pipeline(whisper_model, device="cpu")
-    llm, text_lm_tokeniser = get_llm(llm_name_or_path, device="cpu")
+    device = _resolve_torch_device(torch_device)
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device)
+    llm, text_lm_tokeniser = get_llm(llm_name_or_path, device=device)
     nlls, gen, prompts, bleus = [], [], [], []
     for audio, lens in dataset.batches(batch_size):
         gen_res = model.generate(audio, lens, used_tokens_modality,
                                  **generate_kwargs)
         gen.extend(gen_res)
         prompts.extend([a[:l] for a, l in zip(audio, lens)])
-        res_texts = _transcribe(whisper_pipeline, gen_res)
+        res_texts = _transcribe(whisper_pipeline, gen_res, batch_size)
         bleus.extend([calc_auto_bleu(t, nltk_word_tokenizer, auto_bleu_n)
                       for t in res_texts])
         nlls.extend(np.asarray(get_llm_perplexity(llm, text_lm_tokeniser,
-                                                  res_texts, device="cpu")))
+                                                  res_texts, device=device)))
     return {"asr_perplexity": float(np.exp(np.mean(nlls))),
             f"auto-belu-{auto_bleu_n}": float(np.mean(bleus)),
             "generate": gen, "prompts": prompts}
@@ -167,7 +188,7 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
                  min_file_length=None, alignment_folder=None,
                  use_alignment=False, sample_rate=16000, num_files=None,
                  num_workers: int = 8, pin_memory: bool = True,
-                 **generate_kwargs):
+                 torch_device: Optional[str] = None, **generate_kwargs):
     """Generate -> transcribe prompt & continuation -> judge with \\boxed{n}
     scores (reference generative_metric.py:137-173)."""
     dataset = PromptDataset(data_path, num_files=num_files,
@@ -179,8 +200,9 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
     assert instruction is not None, "llm_as_judge requires instruction"
     assert "[prompt_audio_transcription]" in instruction
     assert "[generated_audio_transcription]" in instruction
-    whisper_pipeline = get_whisper_pipeline(whisper_model, device="cpu")
-    judge = get_judge(llm_name_or_path, device="cpu", batch_size=batch_size)
+    device = _resolve_torch_device(torch_device)
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device)
+    judge = get_judge(llm_name_or_path, device=device, batch_size=batch_size)
     gen, prompts, texts, prompt_texts, gen_texts = [], [], [], [], []
     for audio, lens in dataset.batches(batch_size):
         gen_res = model.generate(audio, lens, used_tokens_modality,
@@ -188,8 +210,8 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
         gen.extend(gen_res)
         prompts.extend([a[:l] for a, l in zip(audio, lens)])
         p_texts = _transcribe(whisper_pipeline,
-                              [a[:l] for a, l in zip(audio, lens)])
-        g_texts = _transcribe(whisper_pipeline, gen_res)
+                              [a[:l] for a, l in zip(audio, lens)], batch_size)
+        g_texts = _transcribe(whisper_pipeline, gen_res, batch_size)
         texts.extend(instruction
                      .replace("[prompt_audio_transcription]", p)
                      .replace("[generated_audio_transcription]", g)

@@ -156,18 +156,33 @@ def test_transcribe_filters_empty_clips():
     (Whisper fails/hallucinates on empty audio)."""
     from slamkit_tpu.metric.generative_metric import _transcribe
 
-    seen = []
+    seen, batch_sizes = [], []
 
     def fake_pipeline(wavs, batch_size):
         seen.extend(wavs)
+        batch_sizes.append(batch_size)
         return [{"text": f"t{len(w)}"} for w in wavs]
 
     out = _transcribe(fake_pipeline,
                       [np.zeros(5, np.float32), np.zeros(0, np.float32),
-                       np.zeros(3, np.float32)])
+                       np.zeros(3, np.float32)], batch_size=8)
     assert out == ["t5", "", "t3"]
     assert all(w.size > 0 for w in seen) and len(seen) == 2
+    # the pipeline batch is capped at the CONFIGURED batch size, not len(keep)
+    assert batch_sizes == [2]
+    out = _transcribe(fake_pipeline, [np.zeros(4, np.float32)] * 5, batch_size=2)
+    assert batch_sizes[-1] == 2
     # all-empty batch: the pipeline is never called
     seen.clear()
-    assert _transcribe(fake_pipeline, [np.zeros(0, np.float32)]) == [""]
+    assert _transcribe(fake_pipeline, [np.zeros(0, np.float32)],
+                       batch_size=8) == [""]
     assert seen == []
+
+
+def test_resolve_torch_device():
+    from slamkit_tpu.metric.generative_metric import _resolve_torch_device
+
+    assert _resolve_torch_device("cpu") == "cpu"
+    assert _resolve_torch_device("cuda:1") == "cuda:1"
+    # auto mode picks cuda only when torch reports one (cpu box here)
+    assert _resolve_torch_device(None) in ("cpu", "cuda")
