@@ -386,9 +386,9 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
     interleave_datasets semantics (reference hf_dataset.py:49-50): draw a
     source per output row until the first (or last) source is exhausted.
 
-    first_exhausted (the default/scale path) is fully vectorized per draw
-    block; all_exhausted keeps a per-draw loop for its cursor-restart
-    semantics. Token materialization is vectorized for both."""
+    Both strategies are fully vectorized per draw block (all_exhausted via
+    per-source occurrence counting with modular cursor wrap). Token
+    materialization is vectorized for both."""
     if len(datasets) != len(probabilities):
         raise ValueError("Number of train paths should match number of train ratios")
     rng = np.random.default_rng(seed)
@@ -425,31 +425,48 @@ def interleave(datasets: Sequence[TokenDataset], probabilities: Sequence[float],
         return _materialize_picks(datasets, src, idx, spill_tokens=spill_tokens,
                                   spill_dir=spill_dir)
 
-    # all_exhausted: short corpora restart, so cursors wrap — per-draw loop
-    cursors = np.zeros(len(datasets), dtype=np.int64)
-    exhausted = (p == 0) | (sizes == 0)
-    picks: List[tuple] = []
-    done = False
-    while not done:
-        for src_i in rng.choice(len(datasets), size=block, p=p):
-            if sizes[src_i] == 0:  # empty corpus: exhausts instantly, never picks
-                if exhausted.all():
-                    done = True
-                    break
-                continue
-            if cursors[src_i] == sizes[src_i]:
-                exhausted[src_i] = True
-                if exhausted.all():
-                    done = True
-                    break
-                cursors[src_i] = 0  # restart the short corpus
-            picks.append((src_i, cursors[src_i]))
-            cursors[src_i] += 1
-        else:
-            continue
-        break
-    src = np.fromiter((s for s, _ in picks), dtype=np.int64, count=len(picks))
-    idx = np.fromiter((i for _, i in picks), dtype=np.int64, count=len(picks))
+    # all_exhausted: short corpora restart (cursor wrap) and the stream stops
+    # when the LAST source completes a full pass. Vectorized per draw block:
+    # a source's pick index is simply (occurrence number) % size, its
+    # "exhausted" flag sets at its (size+1)-th draw, and the stop position is
+    # the MAX over active sources of that flag position — the draw at which
+    # the loop's `exhausted.all()` check first fires (that draw itself is
+    # never picked). Bit-compatible with the per-draw loop it replaced
+    # (parity test on seeded inputs).
+    if stopping_strategy != "all_exhausted":
+        raise ValueError(f"unknown stopping_strategy: {stopping_strategy!r}")
+    n_src = len(datasets)
+    active = (p > 0) & (sizes > 0)
+    if not active.any():  # only empty corpora: first draw triggers the stop
+        return _materialize_picks(datasets, np.empty(0, np.int64),
+                                  np.empty(0, np.int64),
+                                  spill_tokens=spill_tokens, spill_dir=spill_dir)
+    counts = np.zeros(n_src, dtype=np.int64)        # draws of s so far
+    pos_exhaust = np.full(n_src, -1, dtype=np.int64)
+    pos_base = 0
+    draw_parts, occ_parts = [], []
+    while ((pos_exhaust < 0) & active).any():
+        draws = rng.choice(n_src, size=block, p=p)
+        order = np.argsort(draws, kind="stable")
+        group_counts = np.bincount(draws[order], minlength=n_src)
+        within = _ranges(group_counts[group_counts > 0])
+        occ = np.empty(block, dtype=np.int64)
+        occ[order] = within
+        occ_global = counts[draws] + occ  # 0-based occurrence number of each draw
+        for s in np.nonzero(active & (pos_exhaust < 0))[0]:
+            hit = np.nonzero((draws == s) & (occ_global == sizes[s]))[0]
+            if hit.size:
+                pos_exhaust[s] = pos_base + int(hit[0])
+        draw_parts.append(draws)
+        occ_parts.append(occ_global)
+        counts += np.bincount(draws, minlength=n_src)
+        pos_base += block
+    stop = int(pos_exhaust[active].max())
+    draws = np.concatenate(draw_parts)[:stop]
+    occs = np.concatenate(occ_parts)[:stop]
+    keep = sizes[draws] > 0  # empty-corpus draws never pick
+    src = draws[keep]
+    idx = occs[keep] % sizes[src]
     return _materialize_picks(datasets, src, idx, spill_tokens=spill_tokens,
                               spill_dir=spill_dir)
 
