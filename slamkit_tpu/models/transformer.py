@@ -59,6 +59,12 @@ class DecoderConfig:
     tie_word_embeddings: bool = True
     norm_eps: float = 1e-6
     initializer_range: float = 0.02
+    # training-time regularisation (reference passes these into the HF model,
+    # config/model/default.yaml:8-10; active only when a dropout_rng is
+    # passed to forward — eval/generate stay deterministic)
+    dropout: float = 0.0             # embeddings + residual branches
+    attention_dropout: float = 0.0   # attention probabilities (XLA path only)
+    layerdrop: float = 0.0           # skip whole layers with prob p (OPT)
     # execution knobs
     dtype: str = "bfloat16"          # compute dtype
     attn_impl: str = "auto"          # auto | flash | xla
@@ -196,14 +202,18 @@ def _use_flash(cfg: DecoderConfig) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True):
+def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True,
+               dropout_rng=None):
     if _use_flash(cfg):
+        # forward() rejects attention_dropout>0 + flash up front
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
                                sm_scale=cfg.head_dim ** -0.5,
                                block_q=cfg.flash_block_q or None,
                                block_k=cfg.flash_block_k or None)
     return mha_reference(q, k, v, segment_ids=segment_ids, causal=causal,
-                         sm_scale=cfg.head_dim ** -0.5)
+                         sm_scale=cfg.head_dim ** -0.5,
+                         dropout_rate=cfg.attention_dropout,
+                         dropout_rng=dropout_rng)
 
 
 def _mlp(x, lp, cfg: DecoderConfig):
@@ -233,8 +243,16 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
+def _dropout(x, rate: float, rng):
+    """Inverted dropout; identity when rate==0 or rng is None."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
-           cache_index=None):
+           cache_index=None, dropout_rng=None):
     """One decoder block. cache_kv: optional (k, v) [B, Hkv, Tmax, Dh] to update
     at cache_index (decode); returns (out, new_cache_kv)."""
     dt = x.dtype
@@ -301,26 +319,33 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
             v = jnp.repeat(v, groups, axis=1)
         # training or prefill: attend within the current window (the window IS
         # the full history during prefill)
-        attn = _attention(q, k, v, segment_ids, cfg, causal=True)
+        attn = _attention(q, k, v, segment_ids, cfg, causal=True,
+                          dropout_rng=(dropout_rng[0]
+                                       if dropout_rng is not None else None))
 
     if cfg.remat and cfg.remat_policy == "qkv":
         from jax.ad_checkpoint import checkpoint_name
 
         attn = checkpoint_name(attn, "attn_out")
     attn_out = proj(_merge_heads(attn), lp["o_w"], lp.get("o_b"))
+    # residual-branch dropout (HF hidden dropout semantics); dropout_rng is a
+    # [3, 2] key array: (attn probs, attn residual, mlp residual)
+    k_attn_r = dropout_rng[1] if dropout_rng is not None else None
+    k_mlp_r = dropout_rng[2] if dropout_rng is not None else None
+    attn_out = _dropout(attn_out, cfg.dropout, k_attn_r)
 
     if cfg.parallel_residual:
         h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
-        out = x + attn_out + _mlp(h2, lp, cfg)
+        out = x + attn_out + _dropout(_mlp(h2, lp, cfg), cfg.dropout, k_mlp_r)
     elif cfg.pre_norm:
         x = x + attn_out
         h2 = _norm(x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
-        out = x + _mlp(h2, lp, cfg)
+        out = x + _dropout(_mlp(h2, lp, cfg), cfg.dropout, k_mlp_r)
     else:  # post-LN (OPT-350m): norm(x + attn), then norm(x + mlp)
         x = _norm(x + attn_out, lp["attn_norm_scale"],
                   lp.get("attn_norm_bias"), cfg)
-        out = _norm(x + _mlp(x, lp, cfg), lp["mlp_norm_scale"],
-                    lp.get("mlp_norm_bias"), cfg)
+        out = _norm(x + _dropout(_mlp(x, lp, cfg), cfg.dropout, k_mlp_r),
+                    lp["mlp_norm_scale"], lp.get("mlp_norm_bias"), cfg)
     return out, new_cache
 
 
@@ -331,13 +356,26 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             positions: Optional[jax.Array] = None,
             segment_ids: Optional[jax.Array] = None,
             cache: Optional[Any] = None,
-            cache_index: Optional[jax.Array] = None):
+            cache_index: Optional[jax.Array] = None,
+            dropout_rng: Optional[jax.Array] = None):
     """Run the decoder. Returns (logits_f32 [B,T,V], new_cache).
 
     positions default to 0..T-1; pass explicit positions for left-padded
     prompts. segment_ids: [B,T] ints; -1 marks padding (pads attend nowhere
-    that matters and are excluded as keys).
+    that matters and are excluded as keys). dropout_rng activates the
+    config's dropout/attention_dropout/layerdrop rates (training); without
+    it the forward is deterministic (reference: HF model.eval() semantics).
     """
+    use_do = dropout_rng is not None and (
+        cfg.dropout > 0.0 or cfg.attention_dropout > 0.0 or cfg.layerdrop > 0.0)
+    if use_do and cfg.attention_dropout > 0.0 and _use_flash(cfg):
+        # refuse loudly rather than silently skipping probability dropout —
+        # the Pallas kernel never materialises the prob matrix to mask
+        raise ValueError(
+            "attention_dropout > 0 requires attn_implementation='xla' (the "
+            "flash kernel does not support probability dropout); set "
+            "model.config_args.attn_implementation=null on CPU or use "
+            "dropout/layerdrop instead")
     dt = cfg.compute_dtype
     b, t = input_ids.shape
     if positions is None:
@@ -360,9 +398,32 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     layer_params = params["layers"]
 
     if cache is None:
-        def body(carry, lp):
-            out, _ = _layer(carry, lp, positions, segment_ids, cfg)
-            return out, None
+        if use_do:
+            k_embed, k_layers = jax.random.split(dropout_rng)
+            x = _dropout(x, cfg.dropout, k_embed)
+            # per-layer keys ride the scan: [L, 4, 2] = (layerdrop decision,
+            # attn probs, attn residual, mlp residual)
+            layer_keys = jax.random.split(
+                k_layers, cfg.num_layers * 4).reshape(cfg.num_layers, 4, 2)
+
+            def body(carry, xs):
+                lp, keys = xs
+                out, _ = _layer(carry, lp, positions, segment_ids, cfg,
+                                dropout_rng=keys[1:])
+                if cfg.layerdrop > 0.0:
+                    # HF layerdrop: skip the whole layer with prob p, no
+                    # rescale (train-only)
+                    keep = jax.random.bernoulli(keys[0], 1.0 - cfg.layerdrop)
+                    out = jnp.where(keep, out, carry)
+                return out, None
+
+            xs = (layer_params, layer_keys)
+        else:
+            def body(carry, lp):
+                out, _ = _layer(carry, lp, positions, segment_ids, cfg)
+                return out, None
+
+            xs = layer_params
 
         if cfg.remat:
             if cfg.remat_policy == "qkv":
@@ -374,14 +435,14 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             n_ck = cfg.num_layers if cfg.remat_layers < 0 else \
                 min(cfg.remat_layers, cfg.num_layers)
             if n_ck == cfg.num_layers:
-                x, _ = jax.lax.scan(ck_body, x, layer_params)
+                x, _ = jax.lax.scan(ck_body, x, xs)
             else:  # partial remat: first n_ck layers checkpointed, rest plain
-                head = jax.tree_util.tree_map(lambda a: a[:n_ck], layer_params)
-                tail = jax.tree_util.tree_map(lambda a: a[n_ck:], layer_params)
+                head = jax.tree_util.tree_map(lambda a: a[:n_ck], xs)
+                tail = jax.tree_util.tree_map(lambda a: a[n_ck:], xs)
                 x, _ = jax.lax.scan(ck_body, x, head)
                 x, _ = jax.lax.scan(body, x, tail)
         else:
-            x, _ = jax.lax.scan(body, x, layer_params)
+            x, _ = jax.lax.scan(body, x, xs)
         new_cache = None
     else:
         def body(carry, xs):

@@ -52,7 +52,9 @@ class UnitLMConfig:
     rope_theta: Optional[float] = None
     trust_remote_code: Optional[bool] = None   # accepted for surface parity
     use_safetensors: Optional[bool] = None
-    dropout: float = 0.0                   # accepted; decoder runs dropout-free
+    # training-time regularisation (reference config/model/default.yaml:8-10);
+    # active in loss_fn when the trainer passes a dropout rng
+    dropout: float = 0.0
     attention_dropout: float = 0.0
     layerdrop: float = 0.0
     remat: bool = False
@@ -72,6 +74,9 @@ class UnitLMConfig:
             remat=self.remat or None,
             remat_policy=self.remat_policy if self.remat_policy != "full" else None,
             remat_layers=self.remat_layers if self.remat_layers != -1 else None,
+            dropout=self.dropout or None,
+            attention_dropout=self.attention_dropout or None,
+            layerdrop=self.layerdrop or None,
         )
 
     def to_dict(self) -> dict:
@@ -138,14 +143,21 @@ class UnitLM:
                     param_count(self.params) / 1e6)
 
     # -- core compute ---------------------------------------------------------
-    def loss_fn(self, params, batch: dict) -> jax.Array:
+    def loss_fn(self, params, batch: dict, dropout_rng=None) -> jax.Array:
         """Training loss on {'input_ids', 'labels', 'segment_ids'?, 'positions'?,
-        'num_items_in_batch'?} (shift-CE, reference unit_lm.py:13-29)."""
+        'num_items_in_batch'?} (shift-CE, reference unit_lm.py:13-29).
+        dropout_rng activates the config's dropout rates (train mode)."""
         logits, _ = forward(params, self.decoder, batch["input_ids"],
                             positions=batch.get("positions"),
-                            segment_ids=batch.get("segment_ids"))
+                            segment_ids=batch.get("segment_ids"),
+                            dropout_rng=dropout_rng)
         return cross_entropy_loss(logits, batch["labels"],
                                   batch.get("num_items_in_batch"))
+
+    @property
+    def uses_dropout(self) -> bool:
+        return (self.config.dropout > 0.0 or self.config.attention_dropout > 0.0
+                or self.config.layerdrop > 0.0)
 
     def _ll(self, tokens, ignore_mask, mean_nll: bool):
         # params passed as a jit ARGUMENT — closure-captured weights would be

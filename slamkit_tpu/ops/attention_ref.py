@@ -38,11 +38,15 @@ def attention_mask(t_q: int, t_k: int, *, causal: bool,
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   segment_ids: Optional[jax.Array] = None,
                   causal: bool = True,
-                  sm_scale: Optional[float] = None) -> jax.Array:
+                  sm_scale: Optional[float] = None,
+                  dropout_rate: float = 0.0,
+                  dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Multi-head attention. q,k,v: [B, H, T, D]; segment_ids: [B, T] int32.
 
     Computes softmax in f32 regardless of input dtype (matching the Pallas
-    kernel's accumulation precision).
+    kernel's accumulation precision). dropout_rate/dropout_rng apply
+    inverted dropout to the attention probabilities (HF attention_dropout
+    semantics); identity when the rng is None.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -58,5 +62,9 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     unnorm = jnp.exp(logits - jax.lax.stop_gradient(row_max))
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     probs = unnorm / jnp.maximum(denom, 1e-30)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate),
+                          jnp.zeros_like(probs))
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)

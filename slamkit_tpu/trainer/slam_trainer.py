@@ -137,6 +137,8 @@ class SLAMTrainer:
                 valid &= labels <= max_id
             return valid.sum()
 
+        uses_dropout = bool(getattr(model, "uses_dropout", False))
+
         def step_fn(state, batch):
             # the GLOBAL valid-token count, computed on-device (a host-side
             # scalar would disagree across processes in multihost runs)
@@ -144,17 +146,35 @@ class SLAMTrainer:
             micro = {k: batch[k] for k in
                      ("input_ids", "labels", "segment_ids", "positions")}
 
-            def one(params, mb):
-                return model.loss_fn(params, {**mb, "num_items_in_batch": num_items})
-
-            def body(carry, mb):
-                loss_acc, grad_acc = carry
-                loss, grads = jax.value_and_grad(one)(state["params"], mb)
-                return (loss_acc + loss,
-                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+            def one(params, mb, sub=None):
+                return model.loss_fn(params,
+                                     {**mb, "num_items_in_batch": num_items},
+                                     dropout_rng=sub)
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
-            (loss, grads), _ = jax.lax.scan(body, (jnp.float32(0.0), zeros), micro)
+            if uses_dropout:
+                # a per-microbatch dropout key, threaded through the scan;
+                # the post-step key lives in train_state so checkpoints
+                # resume the exact mask stream
+                def body(carry, mb):
+                    loss_acc, grad_acc, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    loss, grads = jax.value_and_grad(one)(state["params"], mb, sub)
+                    return (loss_acc + loss,
+                            jax.tree_util.tree_map(jnp.add, grad_acc, grads),
+                            rng), None
+
+                (loss, grads, new_rng), _ = jax.lax.scan(
+                    body, (jnp.float32(0.0), zeros, state["rng"]), micro)
+            else:
+                def body(carry, mb):
+                    loss_acc, grad_acc = carry
+                    loss, grads = jax.value_and_grad(one)(state["params"], mb)
+                    return (loss_acc + loss,
+                            jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+                (loss, grads), _ = jax.lax.scan(
+                    body, (jnp.float32(0.0), zeros), micro)
             import optax
 
             updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
@@ -164,7 +184,10 @@ class SLAMTrainer:
             # counts are far below f32's 2^24 exact-integer range
             metrics = jnp.stack(
                 [loss, count_tokens(batch["labels"]).astype(jnp.float32)])
-            return {"params": new_params, "opt_state": new_opt}, metrics
+            new_state = {"params": new_params, "opt_state": new_opt}
+            if uses_dropout:
+                new_state["rng"] = new_rng
+            return new_state, metrics
 
         # eval: sum NLL + valid count per batch (host accumulates)
         def eval_step(params, batch):
@@ -199,6 +222,11 @@ class SLAMTrainer:
         opt_sh = opt_state_shardings(opt_state, self.model.params,
                                      self._param_sh, mesh)
         self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
+        init_state = {"params": self.model.params, "opt_state": opt_state}
+        if uses_dropout:
+            self._state_sh["rng"] = rep
+            init_state["rng"] = jax.random.PRNGKey(
+                int(self.args.get("seed", 0)))
 
         batch_sh = {k: NamedSharding(mesh, P(None, "data"))
                     for k in ("input_ids", "labels", "segment_ids", "positions")}
@@ -211,8 +239,7 @@ class SLAMTrainer:
         eval_batch_sh["num_items_in_batch"] = rep
         self._eval_step = jax.jit(eval_step,
                                   in_shardings=(self._param_sh, eval_batch_sh))
-        self.train_state = jax.device_put(
-            {"params": self.model.params, "opt_state": opt_state}, self._state_sh)
+        self.train_state = jax.device_put(init_state, self._state_sh)
 
     # ------------------------------------------------------------------ #
     # checkpointing (SURVEY.md §5.4 — orbax + json trainer state)

@@ -368,6 +368,51 @@ def test_optimizer_variants_train(tmp_path, overrides):
     assert all(np.isfinite(r["loss"]) for r in state.log_history if "loss" in r)
 
 
+def test_train_with_dropout(tmp_path):
+    """model.dropout > 0: the step carries a dropout rng in train_state (so
+    checkpoints resume the exact mask stream), losses stay finite, and resume
+    reproduces the straight run bit-for-bit."""
+    from slamkit_tpu.trainer import TrainerCallback
+
+    ds = tiny_dataset(64)
+
+    class StopAt(TrainerCallback):
+        def __init__(self, step):
+            self.step = step
+
+        def on_step_end(self, args, state, control, **kw):
+            if state.global_step >= self.step:
+                control.should_training_stop = True
+                control.should_save = True
+
+    def run(out, resume=False, stop_at=None):
+        cfg = UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                           vocab_size=64, twist_init=False, dropout=0.2,
+                           layerdrop=0.1)
+        model = UnitLM(cfg, seed=0)
+        args = train_args(tmp_path)
+        args.output_dir = str(out)
+        args.max_steps = 4  # same schedule length in all runs
+        args.save_steps = 0
+        cbs = [StopAt(stop_at)] if stop_at else []
+        tr = SLAMTrainer(model, args, ds, callbacks=cbs, context_len=32)
+        tr.train(resume_from_checkpoint=resume)
+        return model.params, tr
+
+    p_straight, tr = run(tmp_path / "a")
+    assert "rng" in tr.train_state
+    assert all(np.isfinite(r["loss"]) for r in tr.state.log_history if "loss" in r)
+    run(tmp_path / "b", stop_at=2)
+    p_resumed, tr_resumed = run(tmp_path / "b", resume=True)
+    # the restored rng key continues the straight run's exact mask stream
+    np.testing.assert_array_equal(np.asarray(tr.train_state["rng"]),
+                                  np.asarray(tr_resumed.train_state["rng"]))
+    for x, y in zip(jax.tree_util.tree_leaves(p_straight),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_adafactor_descends_with_decoupled_decay(tmp_path):
     """The explicit adafactor chain must (a) descend — optax.adafactor ends
     in scale(-1), so naively appending scale_by_learning_rate would ASCEND —
