@@ -60,16 +60,19 @@ class GenerationInput:
 InterleavedInputs = List[GenerationInput]
 
 
-def select_spans_poisson(array_size: int, lambda_param: int, eta: float) -> np.ndarray:
+def select_spans_poisson(array_size: int, lambda_param: int, eta: float,
+                         rng=None) -> np.ndarray:
     """Binary span mask: Poisson(λ) span lengths until ~eta of the array is
-    selected (reference interleaving_tokeniser.py:56-95)."""
+    selected (reference interleaving_tokeniser.py:56-95). rng: an optional
+    np.random.Generator; defaults to the global state (reference-compat)."""
+    rng = np.random if rng is None else rng
     total_to_select = math.ceil(array_size * eta)
     mask = np.zeros(array_size, dtype=int)
     eligible_indices = set(range(array_size))
     selected_count = 0
     while selected_count < total_to_select and eligible_indices:
-        start_index = np.random.choice(list(eligible_indices))
-        span_length = np.random.poisson(lambda_param)
+        start_index = rng.choice(list(eligible_indices))
+        span_length = rng.poisson(lambda_param)
         end_index = min(start_index + span_length, array_size)
         if np.any(mask[start_index:end_index] == 1):
             continue
@@ -91,7 +94,8 @@ class InterleavingTokeniser(AudioTokeniser):
                  text_tokeniser_path: str = "facebook/opt-125m",
                  interleave_method: str = "random",
                  interleave_span: Optional[int] = None,
-                 interleave_prob: Optional[float] = None):
+                 interleave_prob: Optional[float] = None,
+                 interleave_seed: Optional[int] = None):
         self.speech_fe = speech_tokeniser if load_fe else None
         self.dedup = dedup
         self.pad_token_id = pad_token_id
@@ -101,6 +105,12 @@ class InterleavingTokeniser(AudioTokeniser):
         self.interleave_method = interleave_method
         self.interleave_span = interleave_span
         self.interleave_prob = interleave_prob
+        # seedable stage-2: each row's modality assignment draws from a
+        # Generator keyed on (seed, file_name), so prepare_tokens output is
+        # reproducible under the 32-way thread pool regardless of scheduling.
+        # None (default) keeps the reference's unseedable global-state
+        # behavior (reference interleaving_tokeniser.py:138-155 torch.rand).
+        self.interleave_seed = interleave_seed
 
     @staticmethod
     def _init_text_tokeniser(text_tokeniser_path: str, pad_token_id: int,
@@ -122,16 +132,17 @@ class InterleavingTokeniser(AudioTokeniser):
         return self._represent(self.speech_fe, wav, lens, self.dedup)
 
     # -- interleaving -----------------------------------------------------------
-    def _assign_interleaved_modality(self, aligned_text: List) -> List:
+    def _assign_interleaved_modality(self, aligned_text: List, rng=None) -> List:
+        rng = np.random if rng is None else rng
         modalities = []
         if self.interleave_method == "random":
             for w, s, e in aligned_text:
-                cur = "text" if np.random.rand() < 0.5 else "audio"
+                cur = "text" if rng.random() < 0.5 else "audio"
                 modalities.append((w, s, e, cur))
         elif self.interleave_method == "span":
             patience = 0
             for w, s, e in aligned_text:
-                mod_now = "text" if np.random.rand() >= self.interleave_prob else "audio"
+                mod_now = "text" if rng.random() >= self.interleave_prob else "audio"
                 if mod_now == "audio":
                     patience = self.interleave_span
                 cur = "audio" if patience > 0 else "text"
@@ -139,7 +150,8 @@ class InterleavingTokeniser(AudioTokeniser):
                 patience -= 1
         elif self.interleave_method == "poisson":
             speech_words = select_spans_poisson(
-                len(aligned_text), self.interleave_span, self.interleave_prob)
+                len(aligned_text), self.interleave_span, self.interleave_prob,
+                rng=None if rng is np.random else rng)
             for i, (w, s, e) in enumerate(aligned_text):
                 cur = "audio" if speech_words[i] > 0 else "text"
                 modalities.append((w, s, e, cur))
@@ -176,15 +188,26 @@ class InterleavingTokeniser(AudioTokeniser):
                 cur = []
         return out
 
-    def _interleave_units(self, rep: Dict) -> str:
-        modalities = self._assign_interleaved_modality(rep["aligned_text"])
+    def _interleave_units(self, rep: Dict, rng=None) -> str:
+        modalities = self._assign_interleaved_modality(rep["aligned_text"], rng)
         return self._create_interleaved_text(rep, modalities)
+
+    def _row_rng(self, rep: Dict, index: int):
+        """Per-row Generator keyed on (interleave_seed, file_name) — stable
+        under any thread scheduling; None when unseeded (global state)."""
+        if self.interleave_seed is None:
+            return None
+        import zlib
+
+        key = str(rep.get("file_name", index))
+        return np.random.default_rng(
+            (self.interleave_seed, zlib.crc32(key.encode("utf-8"))))
 
     def stringify_representation(self, reps: List[Dict], mode: str = "test") -> List[str]:
         out = []
-        for cur in reps:
+        for i, cur in enumerate(reps):
             if mode == "train":
-                out.append(self._interleave_units(cur))
+                out.append(self._interleave_units(cur, self._row_rng(cur, i)))
             elif mode == "test":
                 out.append("".join(f"<Un{u}>" for u in cur["units"]))
         return out
