@@ -629,6 +629,9 @@ def _pack_bestfit(ds: TokenDataset, order: np.ndarray, context_len: int,
                 "positions": np.zeros((B, T), np.int32)}
 
     def finalize(buffers):
+        # host-side data-layer stat (HF get_batch_samples surface); the
+        # trainers recompute the count ON DEVICE from labels and never read
+        # this field — test_dataset.py asserts the two definitions agree
         buffers["num_items_in_batch"] = np.int32(
             (buffers["labels"] != IGNORE_INDEX).sum())
         return buffers
@@ -709,6 +712,9 @@ def pack_into_rows(ds: TokenDataset, order: np.ndarray, context_len: int,
                 "positions": np.zeros((B, T), np.int32)}
 
     def finalize(buffers):
+        # host-side data-layer stat (HF get_batch_samples surface); the
+        # trainers recompute the count ON DEVICE from labels and never read
+        # this field — test_dataset.py asserts the two definitions agree
         buffers["num_items_in_batch"] = np.int32(
             (buffers["labels"] != IGNORE_INDEX).sum())
         return buffers

@@ -21,15 +21,19 @@ NEG_INF = -1e30
 
 
 def _sample(logits, rng, do_sample, temperature, top_k, top_p):
+    """temperature/top_p may be TRACED scalars (a knob sweep must not
+    recompile the decode loop); only their None-ness is structural.
+    temperature=1.0 / top_p=1.0 are numerical no-ops, so the always-apply
+    path is exact."""
     if not do_sample:
         return jnp.argmax(logits, axis=-1)
-    if temperature not in (None, 1.0):
+    if temperature is not None:
         logits = logits / jnp.maximum(temperature, 1e-6)
     if top_k is not None and top_k > 0:
         # HF clamps top_k to the vocab size (TopKLogitsWarper semantics)
         kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
-    if top_p is not None and top_p < 1.0:
+    if top_p is not None:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
@@ -47,11 +51,14 @@ def _apply_repetition_penalty(logits, seen, penalty):
     return jnp.where(seen, penalized, logits)
 
 
+# temperature / top_p / repetition_penalty are TRACED: sweeping them (a
+# temperature grid in generation evals) reuses ONE compiled program. Only
+# shape/structure knobs are static: max_new_tokens, do_sample, top_k (the
+# lax.top_k width), eos/pad ids, and each float's None-ness.
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "do_sample", "temperature",
-                     "top_k", "top_p", "eos_token_id", "pad_token_id",
-                     "repetition_penalty"),
+    static_argnames=("cfg", "max_new_tokens", "do_sample", "top_k",
+                     "eos_token_id", "pad_token_id"),
 )
 def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
              attention_mask: jax.Array, rng: jax.Array,
@@ -95,7 +102,7 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     def mask_logits(lg, seen):
         if bad_words_mask is not None:
             lg = jnp.where(bad_words_mask[None, :], NEG_INF, lg)
-        if repetition_penalty is not None and repetition_penalty != 1.0:
+        if repetition_penalty is not None:  # traced; 1.0 is a no-op
             lg = _apply_repetition_penalty(lg, seen, repetition_penalty)
         return lg
 

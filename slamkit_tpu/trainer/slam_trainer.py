@@ -234,9 +234,10 @@ class SLAMTrainer:
         self._train_step = jax.jit(step_fn, donate_argnums=(0,),
                                    in_shardings=(self._state_sh, batch_sh),
                                    out_shardings=(self._state_sh, None))
+        self._eval_batch_keys = ("input_ids", "labels", "segment_ids",
+                                 "positions")
         eval_batch_sh = {k: NamedSharding(mesh, P("data"))
-                         for k in ("input_ids", "labels", "segment_ids", "positions")}
-        eval_batch_sh["num_items_in_batch"] = rep
+                         for k in self._eval_batch_keys}
         self._eval_step = jax.jit(eval_step,
                                   in_shardings=(self._param_sh, eval_batch_sh))
         self.train_state = jax.device_put(init_state, self._state_sh)
@@ -353,6 +354,10 @@ class SLAMTrainer:
         # transfers with compute (expensive on remote/tunnel backends)
         total_nll, total_tokens = jnp.float32(0.0), jnp.int32(0)
         for batch in self.eval_batcher.epoch(0):
+            # tensor keys only: the Batcher's host-side num_items_in_batch
+            # stat is never a step input (steps recompute the count
+            # on-device; test_dataset gates the two definitions agree)
+            batch = {k: batch[k] for k in self._eval_batch_keys}
             batch = shard_batch(batch, self.mesh)
             nll, n = self._eval_step(self.train_state["params"], batch)
             total_nll = total_nll + nll
