@@ -54,8 +54,18 @@ class SpeechLM:
         decoded = [self.tokeniser.decode_sample(c, output_modality=output_modality)
                    for c in conts]
         if self.vocoder is not None and output_modality.upper() == "SPEECH":
-            return [self.vocoder.vocode(c) if np.size(c) > 0 else np.asarray([])
-                    for c in decoded]
+            # one bucketed batch call: fixed-shape synthesis groups the
+            # variable-length continuations instead of tracing per sample
+            keep = [i for i, c in enumerate(decoded) if np.size(c) > 0]
+            batch_fn = getattr(self.vocoder, "vocode_batch",
+                               None)  # duck-typed vocoders: per-sample loop
+            if batch_fn is None:
+                batch_fn = lambda cs: [self.vocoder.vocode(c) for c in cs]
+            wavs = batch_fn([decoded[i] for i in keep])
+            out = [np.asarray([])] * len(decoded)
+            for i, w in zip(keep, wavs):
+                out[i] = w
+            return out
         return decoded
 
     def to(self, device):

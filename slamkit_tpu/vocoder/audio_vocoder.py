@@ -11,6 +11,11 @@ class AudioVocoder(ABC):
     def vocode(self, tokens, **kwargs) -> np.ndarray:
         """Unit-id sequence -> waveform."""
 
+    def vocode_batch(self, token_lists, **kwargs) -> list:
+        """Many unit-id sequences -> waveforms. Default: per-sample loop;
+        implementations override to batch fixed-shape device work."""
+        return [self.vocode(t, **kwargs) for t in token_lists]
+
     def to(self, device):
         return self
 
@@ -24,7 +29,8 @@ def vocoder_factory(cfg):
                               cfg.vocab_size,
                               cfg.get("vocoder_suffix", None),
                               cfg.get("speaker_meta", None),
-                              cfg.get("style_meta", None))
+                              cfg.get("style_meta", None),
+                              bucket_frames=cfg.get("bucket_frames", 32))
     if cfg.vocoder_type is None:
         return None
     raise ValueError(f"Unknown vocoder type: {cfg.vocoder_type}")

@@ -14,7 +14,8 @@ import numpy as np
 
 from .audio_vocoder import AudioVocoder
 from .checkpoint_manager import CHECKPOINT_MANAGER
-from .hifigan_jax import code_generator_forward, load_checkpoint
+from .hifigan_jax import (code_generator_forward, load_checkpoint,
+                          synthesize_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -29,7 +30,8 @@ def _load_meta(path) -> Optional[List[str]]:
 class HiFiGANVocoder(AudioVocoder):
     def __init__(self, dense_model_name: str, quantizer_model_name: str,
                  vocab_size: int, vocoder_suffix: str = None,
-                 speaker_meta=None, style_meta=None):
+                 speaker_meta=None, style_meta=None,
+                 bucket_frames: Optional[int] = 32):
         name = f"{dense_model_name}-{quantizer_model_name}-{vocab_size}-hifigan"
         if vocoder_suffix is not None:
             name += "-" + vocoder_suffix
@@ -43,6 +45,9 @@ class HiFiGANVocoder(AudioVocoder):
         self.speakers = _load_meta(speaker_path)
         self.styles = _load_meta(style_path)
         self.has_dur_predictor = "dur_predictor" in self.params
+        # bucketed jitted synthesis (bounded compiles over variable lengths);
+        # None = exact per-length tracing
+        self.bucket_frames = bucket_frames
         logger.info("CodeHiFiGAN model loaded (%s)", name)
 
     @property
@@ -60,6 +65,9 @@ class HiFiGANVocoder(AudioVocoder):
 
     def vocode(self, tokens, speaker_id: Union[int, str] = 0,
                style_id: Union[int, str] = 0, f0=None, **kwargs) -> np.ndarray:
+        if self.bucket_frames:
+            return self.vocode_batch([tokens], speaker_id=speaker_id,
+                                     style_id=style_id, f0=f0)[0]
         code = np.asarray(tokens).ravel()
         code = code[code >= 0]  # drop invalid codes (reference vocoder.py:79-81)
         if code.size == 0:
@@ -70,3 +78,38 @@ class HiFiGANVocoder(AudioVocoder):
             speaker_id=self._resolve(speaker_id, self.speakers, "speaker"),
             style_id=self._resolve(style_id, self.styles, "style"),
             f0=f0)
+
+    def vocode_batch(self, token_lists, speaker_id: Union[int, str] = 0,
+                     style_id: Union[int, str] = 0, f0=None,
+                     **kwargs) -> list:
+        """Bucketed fixed-shape synthesis for many continuations: a handful
+        of compiled generator shapes instead of one per length
+        (hifigan_jax.synthesize_batch). speaker/style/f0 may be scalars
+        (broadcast) or per-sample sequences."""
+        n = len(token_lists)
+        codes, keep = [], []
+        for i, t in enumerate(token_lists):
+            code = np.asarray(t).ravel()
+            code = code[code >= 0]
+            if code.size:
+                codes.append(code[None])
+                keep.append(i)
+
+        def per_sample(v, resolve_kind=None):
+            vals = v if isinstance(v, (list, tuple, np.ndarray)) else [v] * n
+            if resolve_kind:
+                names = self.speakers if resolve_kind == "speaker" else self.styles
+                vals = [self._resolve(x, names, resolve_kind) for x in vals]
+            return [vals[i] for i in keep]
+
+        wavs = synthesize_batch(
+            self.params, self.cfg, codes,
+            dur_prediction=self.has_dur_predictor,
+            speaker_ids=per_sample(speaker_id, "speaker"),
+            style_ids=per_sample(style_id, "style"),
+            f0s=per_sample(f0) if f0 is not None else None,
+            bucket_frames=self.bucket_frames or 32)
+        out = [np.asarray([], dtype=np.float32)] * n
+        for w, i in zip(wavs, keep):
+            out[i] = w
+        return out

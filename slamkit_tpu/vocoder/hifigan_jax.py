@@ -12,8 +12,11 @@ checkpoints map verbatim; transpose convs are fractionally-strided convs
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
 import json
-from typing import Dict, Optional
+import math
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -66,25 +69,57 @@ def _resblock(x, rp, kernel_size, dilations):
     return x
 
 
-def generator_forward(params: dict, cfg: dict, x: jax.Array) -> jax.Array:
-    """x: [B, model_in_dim, T] -> waveform [B, 1, T * prod(upsample_rates)]."""
-    num_kernels = len(cfg["resblock_kernel_sizes"])
+@dataclasses.dataclass(frozen=True)
+class _GenCfg:
+    """Hashable slice of the checkpoint config — the static jit key for the
+    fixed-shape generator program."""
+
+    upsample_rates: tuple
+    upsample_kernel_sizes: tuple
+    resblock_kernel_sizes: tuple
+    resblock_dilation_sizes: tuple  # tuple of tuples
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "_GenCfg":
+        return cls(
+            tuple(cfg["upsample_rates"]),
+            tuple(cfg["upsample_kernel_sizes"]),
+            tuple(cfg["resblock_kernel_sizes"]),
+            tuple(tuple(d) for d in cfg["resblock_dilation_sizes"]))
+
+    @property
+    def hop(self) -> int:
+        return math.prod(self.upsample_rates)
+
+
+def _generator_fwd(params: dict, gcfg: _GenCfg, x: jax.Array) -> jax.Array:
+    num_kernels = len(gcfg.resblock_kernel_sizes)
     x = _conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
-    for i, (u, k) in enumerate(zip(cfg["upsample_rates"],
-                                   cfg["upsample_kernel_sizes"])):
+    for i, (u, k) in enumerate(zip(gcfg.upsample_rates,
+                                   gcfg.upsample_kernel_sizes)):
         x = _lrelu(x)
         x = _conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"],
                               stride=u, padding=(k - u) // 2)
         xs = None
         for j in range(num_kernels):
             rb = _resblock(x, params["resblocks"][i * num_kernels + j],
-                           cfg["resblock_kernel_sizes"][j],
-                           cfg["resblock_dilation_sizes"][j])
+                           gcfg.resblock_kernel_sizes[j],
+                           gcfg.resblock_dilation_sizes[j])
             xs = rb if xs is None else xs + rb
         x = xs / num_kernels
     x = _lrelu(x, 0.01)  # torch F.leaky_relu default slope at the output conv
     x = _conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
     return jnp.tanh(x)
+
+
+# params are jit ARGUMENTS (closure-captured weights would be baked into the
+# program — see CLAUDE.md); one compile per (gcfg, [B, C, T]) shape
+_generator_jit = jax.jit(_generator_fwd, static_argnames=("gcfg",))
+
+
+def generator_forward(params: dict, cfg: dict, x: jax.Array) -> jax.Array:
+    """x: [B, model_in_dim, T] -> waveform [B, 1, T * prod(upsample_rates)]."""
+    return _generator_jit(params, _GenCfg.from_dict(cfg), x)
 
 
 def variance_predictor(params: dict, cfg: dict, x: jax.Array,
@@ -117,13 +152,13 @@ def _upsample_to(signal, max_frames):
     return jnp.repeat(signal, max_frames // t0, axis=2)
 
 
-def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
-                           dur_prediction: bool = False,
-                           speaker_id: int = 0, style_id: int = 0,
-                           f0: Optional[np.ndarray] = None) -> np.ndarray:
-    """Unit ids [T] or [1, T] -> waveform [T_wav]
-    (reference generator.py:150-197 + vocoder.py:56-88 semantics: negative
-    codes dropped by the caller; optional f0 conditioning)."""
+def _build_conditioning(params: dict, cfg: dict, code,
+                        dur_prediction: bool = False,
+                        speaker_id: int = 0, style_id: int = 0,
+                        f0: Optional[np.ndarray] = None) -> jax.Array:
+    """Unit ids [T] or [1, T] -> generator conditioning [1, C_in, T']
+    (embedding, optional duration re-expansion, f0/speaker/style concat).
+    Cheap eager ops; the data-dependent re-expansion stays host-side."""
     code = jnp.atleast_2d(jnp.asarray(code))
     x = params["dict"][code]  # [1, T, C]
 
@@ -157,9 +192,68 @@ def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
         st = params["style"][jnp.asarray([[style_id]])]
         feats.append(jnp.broadcast_to(st.transpose(0, 2, 1),
                                       (1, st.shape[-1], feats[0].shape[-1])))
-    h = jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+    return jnp.concatenate(feats, axis=1) if len(feats) > 1 else feats[0]
+
+
+def code_generator_forward(params: dict, cfg: dict, code: np.ndarray,
+                           dur_prediction: bool = False,
+                           speaker_id: int = 0, style_id: int = 0,
+                           f0: Optional[np.ndarray] = None) -> np.ndarray:
+    """Unit ids [T] or [1, T] -> waveform [T_wav]
+    (reference generator.py:150-197 + vocoder.py:56-88 semantics: negative
+    codes dropped by the caller; optional f0 conditioning). EXACT path: one
+    compile per distinct conditioning length — prefer synthesize_batch for
+    generation evals that vocode many variable-length continuations."""
+    h = _build_conditioning(params, cfg, code, dur_prediction, speaker_id,
+                            style_id, f0)
     wav = generator_forward(params, cfg, h)
     return np.asarray(wav).squeeze()
+
+
+def synthesize_batch(params: dict, cfg: dict, codes: Sequence[np.ndarray],
+                     dur_prediction: bool = False,
+                     speaker_ids=None, style_ids=None, f0s=None,
+                     bucket_frames: int = 32,
+                     max_batch: int = 8) -> List[np.ndarray]:
+    """Bucketed batched synthesis: conditioning lengths are padded up to a
+    multiple of `bucket_frames` and same-bucket samples run through ONE
+    fixed-shape jitted generator call, so vocoding hundreds of
+    variable-length continuations compiles a handful of programs instead of
+    one per length (VERDICT r3 missing #5).
+
+    Padding semantics: the generator is fully convolutional with zero 'same'
+    padding, so every sample's interior is unchanged; only the tail inside
+    the network's receptive field (~conv_post/resblock kernels, a few
+    hundred output samples) can differ slightly from the exact per-sample
+    path because padded frames carry conv biases instead of implicit zeros.
+    Outputs are trimmed to each sample's true T*hop length."""
+    n = len(codes)
+    spk = list(speaker_ids) if speaker_ids is not None else [0] * n
+    sty = list(style_ids) if style_ids is not None else [0] * n
+    f0l = list(f0s) if f0s is not None else [None] * n
+
+    hs = [_build_conditioning(params, cfg, c, dur_prediction, s, st, f)
+          for c, s, st, f in zip(codes, spk, sty, f0l)]
+    gcfg = _GenCfg.from_dict(cfg)
+    hop = gcfg.hop
+
+    buckets: Dict[int, List[int]] = {}
+    for i, h in enumerate(hs):
+        t = h.shape[-1]
+        tb = max(-(-t // bucket_frames) * bucket_frames, bucket_frames)
+        buckets.setdefault(tb, []).append(i)
+
+    out: List[Optional[np.ndarray]] = [None] * n
+    for tb, idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), max_batch):
+            group = idxs[lo:lo + max_batch]
+            batch = jnp.concatenate(
+                [jnp.pad(hs[i], ((0, 0), (0, 0), (0, tb - hs[i].shape[-1])))
+                 for i in group], axis=0)
+            wavs = np.asarray(_generator_jit(params, gcfg, batch))
+            for row, i in enumerate(group):
+                out[i] = wavs[row, 0, :hs[i].shape[-1] * hop]
+    return out
 
 
 # --------------------------------------------------------------------------- #
