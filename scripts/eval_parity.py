@@ -59,11 +59,14 @@ def build_fe(args, workdir: str):
         fe_dir = os.path.join(workdir, "fe")
         model.save_pretrained(fe_dir)
         km = os.path.join(workdir, "km.npy")
-        np.save(km, (np.random.default_rng(0)
-                     .standard_normal((args.num_units, mk.TINY["hidden_size"]))
-                     .astype(np.float32)))
+        # the SAME deterministic recipe the fixture tests use — one source
+        # of truth for fabricated centroids
+        cents = mk.fabricate_kmeans(mk.TINY["hidden_size"])
+        np.save(km, cents[:args.num_units])
+        # the tiny model has few layers; clamp an unset/out-of-range tap
+        layer = min(args.layer, mk.TINY["num_hidden_layers"])
         return HubertFeatureExtractor(pretrained_model=fe_dir, kmeans_path=km,
-                                      layer=args.layer, num_units=args.num_units)
+                                      layer=layer, num_units=args.num_units)
     if not args.fe_model or not args.kmeans:
         sys.exit("need --fe-model and --kmeans (or --fabricate-fe for CI)")
     return HubertFeatureExtractor(pretrained_model=args.fe_model,

@@ -57,12 +57,12 @@ class SpeechLM:
             # one bucketed batch call: fixed-shape synthesis groups the
             # variable-length continuations instead of tracing per sample
             keep = [i for i, c in enumerate(decoded) if np.size(c) > 0]
-            batch_fn = getattr(self.vocoder, "vocode_batch",
-                               None)  # duck-typed vocoders: per-sample loop
+            # duck-typed (non-AudioVocoder) vocoders may lack vocode_batch
+            batch_fn = getattr(self.vocoder, "vocode_batch", None)
             if batch_fn is None:
                 batch_fn = lambda cs: [self.vocoder.vocode(c) for c in cs]
             wavs = batch_fn([decoded[i] for i in keep])
-            out = [np.asarray([])] * len(decoded)
+            out = [np.asarray([], dtype=np.float32)] * len(decoded)
             for i, w in zip(keep, wavs):
                 out[i] = w
             return out

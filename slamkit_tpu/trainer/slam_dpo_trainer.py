@@ -132,16 +132,20 @@ class SLAMDPOTrainer:
     def _build_step(self):
         model, tx, beta = self.model, self.tx, self.beta
         decoder = model.decoder
+        uses_dropout = bool(getattr(model, "uses_dropout", False))
 
-        def seq_logp(params, batch):
+        def seq_logp(params, batch, dropout_rng=None):
             logits, _ = forward(params, decoder, batch["input_ids"],
-                                segment_ids=batch["segment_ids"])
+                                segment_ids=batch["segment_ids"],
+                                dropout_rng=dropout_rng)
             targets = batch["input_ids"][:, 1:]
             lp = -token_nll(logits[:, :-1], targets)
             return (lp * batch["completion_mask"][:, 1:]).sum(-1)
 
-        def dpo_loss(params, ref_params, batch):
-            lp = seq_logp(params, batch)
+        def dpo_loss(params, ref_params, batch, dropout_rng=None):
+            # dropout on the POLICY forward only — trl keeps the reference
+            # model in eval mode (deterministic)
+            lp = seq_logp(params, batch, dropout_rng)
             ref_lp = jax.lax.stop_gradient(seq_logp(ref_params, batch))
             B = lp.shape[0] // 2
             pi_diff = lp[:B] - lp[B:]
@@ -159,12 +163,23 @@ class SLAMDPOTrainer:
         def step_fn(state, ref_params, batch):
             import optax
 
-            (loss, metrics), grads = jax.value_and_grad(dpo_loss, has_aux=True)(
-                state["params"], ref_params, batch)
+            sub = None
+            if uses_dropout:
+                # per-step key threaded through train_state so checkpoints
+                # resume the exact mask stream (same scheme as SLAMTrainer)
+                new_rng, sub = jax.random.split(state["rng"])
+
+            def loss_fn(params):
+                return dpo_loss(params, ref_params, batch, sub)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
             updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
             new_params = optax.apply_updates(state["params"], updates)
-            return ({"params": new_params, "opt_state": new_opt},
-                    {"loss": loss, **metrics})
+            new_state = {"params": new_params, "opt_state": new_opt}
+            if uses_dropout:
+                new_state["rng"] = new_rng
+            return new_state, {"loss": loss, **metrics}
 
         mesh = self.mesh
         self._param_sh = param_shardings(self.model.params, mesh,
@@ -178,16 +193,23 @@ class SLAMDPOTrainer:
         opt_sh = opt_state_shardings(opt_state, self.model.params,
                                      self._param_sh, mesh)
         self._state_sh = {"params": self._param_sh, "opt_state": opt_sh}
+        init_state = {"params": self.model.params, "opt_state": opt_state}
+        if uses_dropout:
+            rep = NamedSharding(mesh, P())
+            self._state_sh["rng"] = rep
+            init_state["rng"] = jax.random.PRNGKey(
+                int(self.args.get("seed", 0)))
         batch_sh = {k: NamedSharding(mesh, P("data"))
                     for k in ("input_ids", "completion_mask", "segment_ids")}
         self._batch_sh = batch_sh
         self._step = jax.jit(step_fn, donate_argnums=(0,),
                              in_shardings=(self._state_sh, self._param_sh, batch_sh),
                              out_shardings=(self._state_sh, None))
+        # eval stays deterministic (no dropout rng), HF eval-mode semantics
         self._eval_loss = jax.jit(
-            dpo_loss, in_shardings=(self._param_sh, self._param_sh, batch_sh))
-        self.train_state = jax.device_put(
-            {"params": self.model.params, "opt_state": opt_state}, self._state_sh)
+            lambda p, r, b: dpo_loss(p, r, b, None),
+            in_shardings=(self._param_sh, self._param_sh, batch_sh))
+        self.train_state = jax.device_put(init_state, self._state_sh)
         # the frozen implicit reference model = initial policy (trl semantics);
         # must be a COPY — the policy buffers are donated into the step
         self.ref_params = jax.device_put(
@@ -235,73 +257,36 @@ class SLAMDPOTrainer:
         self._log({**out, "step": self.state.global_step})
         return out
 
-    # -- checkpointing (same layout AND hardening as SLAMTrainer: collective
-    # orbax save of the possibly-sharded state, process-0-only host
-    # artifacts, save_total_limit rotation) ---------------------------------
+    # -- checkpointing: shared machinery (trainer/checkpoint.py) carries the
+    # layout and the multihost hardening for BOTH trainers --------------------
     def save_checkpoint(self):
         import json
         import os
-        import shutil
 
-        import orbax.checkpoint as ocp
+        from . import checkpoint
 
-        path = os.path.abspath(os.path.join(self.args.output_dir,
-                                            f"checkpoint-{self.state.global_step}"))
-        if self._proc == 0 and os.path.isdir(path):
-            shutil.rmtree(path)
-        if self._n_procs > 1:  # all procs must see the cleanup before saving
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("dpo_ckpt_clean")
-        # COLLECTIVE save: every process participates, passing the (possibly
-        # fsdp-sharded) device arrays directly — no device_get of shards a
-        # process cannot address
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "state"), self.train_state)
-        ckptr.wait_until_finished()
+        path = os.path.abspath(checkpoint.ckpt_dir(self.args.output_dir,
+                                                   self.state.global_step))
+        checkpoint.collective_save(path, self.train_state, self._proc,
+                                   self._n_procs, sync_tag="dpo_ckpt_clean")
         if self._proc == 0:
-            with open(os.path.join(path, "trainer_state.json"), "w") as f:
-                json.dump({"global_step": self.state.global_step,
-                           "epoch": self.state.epoch,
-                           "log_history": self.state.log_history[-50:]}, f)
-            try:  # HF-style export (impossible for non-addressable shards)
-                self.model.params = jax.device_get(self.train_state["params"])
-                self.model.save_pretrained(path)
-            except Exception as e:
-                logger.warning("skipping model export (non-addressable "
-                               "shards?): %s", e)
-            self._rotate_checkpoints()
+            checkpoint.save_host_artifacts(
+                path,
+                {"global_step": self.state.global_step,
+                 "epoch": self.state.epoch,
+                 "log_history": self.state.log_history[-50:]},
+                self.model, self.train_state)
+            checkpoint.rotate_checkpoints(
+                self.args.output_dir, self.args.get("save_total_limit", None))
         logger.info("Saved DPO checkpoint %s", path)
-
-    def _rotate_checkpoints(self):
-        import os
-        import shutil
-
-        limit = self.args.get("save_total_limit", None)
-        if not limit:
-            return
-        out = self.args.output_dir
-        ckpts = sorted(
-            int(d.split("-")[1]) for d in os.listdir(out)
-            if d.startswith("checkpoint-") and d.split("-")[1].isdigit())
-        for step in ckpts[:-limit]:
-            shutil.rmtree(os.path.join(out, f"checkpoint-{step}"),
-                          ignore_errors=True)
 
     def _load_checkpoint(self, path):
         import json
         import os
 
-        import orbax.checkpoint as ocp
+        from . import checkpoint
 
-        ckptr = ocp.StandardCheckpointer()
-        # abstract target (shape/dtype/sharding) restores straight onto the
-        # mesh — works for replicated AND fsdp-sharded multihost state
-        template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-            self.train_state)
-        self.train_state = ckptr.restore(
-            os.path.abspath(os.path.join(path, "state")), target=template)
+        self.train_state = checkpoint.collective_restore(path, self.train_state)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
         self.state.global_step = st["global_step"]
@@ -310,15 +295,9 @@ class SLAMDPOTrainer:
         logger.info("Resumed DPO from %s at step %d", path, self.state.global_step)
 
     def _latest_checkpoint(self):
-        import os
+        from . import checkpoint
 
-        out = self.args.output_dir
-        if not os.path.isdir(out):
-            return None
-        cands = [(int(d.split("-")[1]), d) for d in os.listdir(out)
-                 if d.startswith("checkpoint-") and d.split("-")[1].isdigit()
-                 and os.path.isdir(os.path.join(out, d, "state"))]
-        return os.path.join(out, max(cands)[1]) if cands else None
+        return checkpoint.latest_checkpoint(self.args.output_dir)
 
     def train(self, resume_from_checkpoint=None):
         args, state, control = self.args, self.state, self.control

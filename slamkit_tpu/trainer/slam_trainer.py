@@ -37,7 +37,9 @@ from .optim import make_optimizer
 
 logger = logging.getLogger(__name__)
 
-CKPT_PREFIX = "checkpoint-"
+from . import checkpoint
+
+CKPT_PREFIX = checkpoint.CKPT_PREFIX  # re-export (existing import sites)
 
 
 def _stack_microbatches(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -246,78 +248,39 @@ class SLAMTrainer:
     # checkpointing (SURVEY.md §5.4 — orbax + json trainer state)
     # ------------------------------------------------------------------ #
     def _ckpt_dir(self, step: int) -> str:
-        return os.path.join(self.args.output_dir, f"{CKPT_PREFIX}{step}")
+        return checkpoint.ckpt_dir(self.args.output_dir, step)
 
     def save_checkpoint(self):
-        import orbax.checkpoint as ocp
-
         path = os.path.abspath(self._ckpt_dir(self.state.global_step))
-        if self._proc == 0 and os.path.isdir(path):
-            shutil.rmtree(path)
-        if self._n_procs > 1:  # all procs must see the cleanup before saving
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("ckpt_clean")
-        # the orbax save is COLLECTIVE: every process participates, passing
-        # the (possibly sharded) device arrays directly
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "state"), self.train_state)
-        ckptr.wait_until_finished()
+        checkpoint.collective_save(path, self.train_state, self._proc,
+                                   self._n_procs)
         if self._proc == 0:
             # host-side artifacts are process-0 only; resume replays from the
             # oldest consumed-but-unstepped microbatch (possibly last epoch)
             data_pos = (tuple(self._pending_positions[0])
                         if self._pending_positions else self._data_pos)
-            with open(os.path.join(path, "trainer_state.json"), "w") as f:
-                json.dump({"global_step": self.state.global_step,
-                           "epoch": self.state.epoch,
-                           "data_pos": list(data_pos),
-                           # resume fast-forwards batch-by-batch through the
-                           # SAME stream; a different packing strategy would
-                           # silently skip/duplicate data (see load_checkpoint)
-                           "packing_strategy": (
-                               self.train_batcher.packing_strategy
-                               if self.train_batcher.packing else None),
-                           "num_input_tokens_seen": self.state.num_input_tokens_seen,
-                           "log_history": self.state.log_history[-50:]}, f)
-            try:  # HF-style export (may be impossible for fsdp multihost shards)
-                self.model.params = jax.device_get(self.train_state["params"])
-                self.model.save_pretrained(path)
-            except Exception as e:
-                logger.warning("skipping model export (non-addressable shards?): %s", e)
-            self._rotate_checkpoints()
+            checkpoint.save_host_artifacts(
+                path,
+                {"global_step": self.state.global_step,
+                 "epoch": self.state.epoch,
+                 "data_pos": list(data_pos),
+                 # resume fast-forwards batch-by-batch through the SAME
+                 # stream; a different packing strategy would silently
+                 # skip/duplicate data (see load_checkpoint)
+                 "packing_strategy": (self.train_batcher.packing_strategy
+                                      if self.train_batcher.packing else None),
+                 "num_input_tokens_seen": self.state.num_input_tokens_seen,
+                 "log_history": self.state.log_history[-50:]},
+                self.model, self.train_state)
+            checkpoint.rotate_checkpoints(
+                self.args.output_dir, self.args.get("save_total_limit", None))
         logger.info("Saved checkpoint %s", path)
 
-    def _rotate_checkpoints(self):
-        limit = self.args.get("save_total_limit", None)
-        if not limit:
-            return
-        ckpts = sorted(
-            (int(d[len(CKPT_PREFIX):]) for d in os.listdir(self.args.output_dir)
-             if d.startswith(CKPT_PREFIX) and d[len(CKPT_PREFIX):].isdigit()))
-        for step in ckpts[:-limit]:
-            shutil.rmtree(self._ckpt_dir(step), ignore_errors=True)
-
     def _latest_checkpoint(self) -> Optional[str]:
-        if not os.path.isdir(self.args.output_dir):
-            return None
-        ckpts = [(int(d[len(CKPT_PREFIX):]), d) for d in os.listdir(self.args.output_dir)
-                 if d.startswith(CKPT_PREFIX) and d[len(CKPT_PREFIX):].isdigit()]
-        if not ckpts:
-            return None
-        return os.path.join(self.args.output_dir, max(ckpts)[1])
+        return checkpoint.latest_checkpoint(self.args.output_dir)
 
     def load_checkpoint(self, path: str):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        # abstract target (shape/dtype/sharding) restores straight onto the
-        # mesh — works for replicated AND fsdp-sharded multihost state
-        template = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-            self.train_state)
-        self.train_state = ckptr.restore(
-            os.path.abspath(os.path.join(path, "state")), target=template)
+        self.train_state = checkpoint.collective_restore(path, self.train_state)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
         self.state.global_step = st["global_step"]

@@ -30,7 +30,7 @@ def vocoder_factory(cfg):
                               cfg.get("vocoder_suffix", None),
                               cfg.get("speaker_meta", None),
                               cfg.get("style_meta", None),
-                              bucket_frames=cfg.get("bucket_frames", 32))
+                              bucket_frames=cfg.get("bucket_frames", None))
     if cfg.vocoder_type is None:
         return None
     raise ValueError(f"Unknown vocoder type: {cfg.vocoder_type}")

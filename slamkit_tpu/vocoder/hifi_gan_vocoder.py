@@ -31,7 +31,7 @@ class HiFiGANVocoder(AudioVocoder):
     def __init__(self, dense_model_name: str, quantizer_model_name: str,
                  vocab_size: int, vocoder_suffix: str = None,
                  speaker_meta=None, style_meta=None,
-                 bucket_frames: Optional[int] = 32):
+                 bucket_frames: Optional[int] = None):
         name = f"{dense_model_name}-{quantizer_model_name}-{vocab_size}-hifigan"
         if vocoder_suffix is not None:
             name += "-" + vocoder_suffix
@@ -45,8 +45,11 @@ class HiFiGANVocoder(AudioVocoder):
         self.speakers = _load_meta(speaker_path)
         self.styles = _load_meta(style_path)
         self.has_dur_predictor = "dur_predictor" in self.params
-        # bucketed jitted synthesis (bounded compiles over variable lengths);
-        # None = exact per-length tracing
+        # None (default) = reference-exact: batch same-length samples, one
+        # compile per distinct length. Set vocoder.bucket_frames=N to pad
+        # lengths to N-multiples for bounded compiles (perturbs each
+        # waveform's receptive-field tail) — exactness-first like the
+        # feature extractor's opt-in bucket_samples
         self.bucket_frames = bucket_frames
         logger.info("CodeHiFiGAN model loaded (%s)", name)
 
@@ -65,9 +68,6 @@ class HiFiGANVocoder(AudioVocoder):
 
     def vocode(self, tokens, speaker_id: Union[int, str] = 0,
                style_id: Union[int, str] = 0, f0=None, **kwargs) -> np.ndarray:
-        if self.bucket_frames:
-            return self.vocode_batch([tokens], speaker_id=speaker_id,
-                                     style_id=style_id, f0=f0)[0]
         code = np.asarray(tokens).ravel()
         code = code[code >= 0]  # drop invalid codes (reference vocoder.py:79-81)
         if code.size == 0:
@@ -82,11 +82,22 @@ class HiFiGANVocoder(AudioVocoder):
     def vocode_batch(self, token_lists, speaker_id: Union[int, str] = 0,
                      style_id: Union[int, str] = 0, f0=None,
                      **kwargs) -> list:
-        """Bucketed fixed-shape synthesis for many continuations: a handful
-        of compiled generator shapes instead of one per length
-        (hifigan_jax.synthesize_batch). speaker/style/f0 may be scalars
-        (broadcast) or per-sample sequences."""
+        """Batched synthesis for many continuations. speaker/style may be
+        scalars (broadcast) or per-sample lists; f0 must be a per-sample
+        list of contours (or None).
+
+        With bucket_frames set, lengths pad to bucket multiples and share a
+        handful of compiled generator shapes — slightly perturbing each
+        waveform's receptive-field tail (hifigan_jax.synthesize_batch). The
+        default (None) keeps reference-exact outputs: same-length samples
+        still batch together, distinct lengths compile per length."""
         n = len(token_lists)
+        if f0 is not None:
+            if not isinstance(f0, (list, tuple)) or len(f0) != n:
+                raise ValueError(
+                    "vocode_batch f0 must be a per-sample list (len "
+                    f"{n}); pass voc.vocode(tokens, f0=contour) for one "
+                    "sample")
         codes, keep = [], []
         for i, t in enumerate(token_lists):
             code = np.asarray(t).ravel()
@@ -95,20 +106,21 @@ class HiFiGANVocoder(AudioVocoder):
                 codes.append(code[None])
                 keep.append(i)
 
-        def per_sample(v, resolve_kind=None):
-            vals = v if isinstance(v, (list, tuple, np.ndarray)) else [v] * n
-            if resolve_kind:
-                names = self.speakers if resolve_kind == "speaker" else self.styles
-                vals = [self._resolve(x, names, resolve_kind) for x in vals]
-            return [vals[i] for i in keep]
+        def per_sample(v, kind):
+            vals = list(v) if isinstance(v, (list, tuple)) else [v] * n
+            if len(vals) != n:
+                raise ValueError(f"{kind}_id list has {len(vals)} entries "
+                                 f"for {n} samples")
+            names = self.speakers if kind == "speaker" else self.styles
+            return [self._resolve(x, names, kind) for x in (vals[i] for i in keep)]
 
         wavs = synthesize_batch(
             self.params, self.cfg, codes,
             dur_prediction=self.has_dur_predictor,
             speaker_ids=per_sample(speaker_id, "speaker"),
             style_ids=per_sample(style_id, "style"),
-            f0s=per_sample(f0) if f0 is not None else None,
-            bucket_frames=self.bucket_frames or 32)
+            f0s=[f0[i] for i in keep] if f0 is not None else None,
+            bucket_frames=self.bucket_frames)
         out = [np.asarray([], dtype=np.float32)] * n
         for w, i in zip(wavs, keep):
             out[i] = w

@@ -134,6 +134,41 @@ def test_dpo_fsdp_train_and_collective_save(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_dpo_dropout_active_and_seeded(tmp_path):
+    """Nonzero dropout must perturb the DPO policy forward (the reference
+    trains the HF model under trl with dropout live), deterministically
+    under the state-threaded rng: two same-seed runs agree, dropout-off
+    diverges from dropout-on."""
+    tok = UnitTokeniser(load_fe=False, num_units=60)
+    rng = np.random.default_rng(0)
+    rows = [{"prompt": unit_str(rng.integers(0, 60, 5)),
+             "chosen": unit_str([7, 8, 9]),
+             "rejected": unit_str(rng.integers(20, 60, 4))} for _ in range(16)]
+
+    def losses(dropout, out):
+        model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                    vocab_size=62 + tok.offset,
+                                    twist_init=False, dropout=dropout,
+                                    attn_implementation="xla"), seed=0)
+        args = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+            "data.train_path=/dev/null", "data.val_path=/dev/null",
+            f"training_args.output_dir={tmp_path}/{out}",
+            "training_args.per_device_train_batch_size=1",
+            "training_args.max_steps=3", "training_args.logging_steps=1",
+        ]).training_args
+        tr = SLAMDPOTrainer(model, tok, args, rows)
+        if dropout:
+            assert "rng" in tr.train_state
+        state = tr.train()
+        return [r["loss"] for r in state.log_history if "loss" in r]
+
+    base = losses(0.0, "d0")
+    drop_a = losses(0.3, "da")
+    drop_b = losses(0.3, "db")
+    assert drop_a == drop_b                      # seeded mask stream
+    assert any(a != b for a, b in zip(base[1:], drop_a[1:]))  # dropout is live
+
+
 def test_dpo_checkpoint_resume_equivalence(tmp_path):
     from slamkit_tpu.trainer import TrainerCallback
 

@@ -212,6 +212,63 @@ def test_synthesize_batch_bucketing(jax_params):
         np.testing.assert_allclose(wav, exact, atol=0.2)
 
 
+def test_synthesize_batch_exact_default(jax_params):
+    """bucket_frames=None (the default): same-length samples batch together
+    and every output is BIT-IDENTICAL to the per-sample exact path."""
+    from slamkit_tpu.vocoder.hifigan_jax import (_generator_jit,
+                                                 synthesize_batch)
+
+    rng = np.random.default_rng(5)
+    lengths = [7, 11, 7, 11, 7]
+    codes = [rng.integers(0, TINY_CFG["num_embeddings"], size=(1, t))
+             for t in lengths]
+    _generator_jit._clear_cache()
+    wavs = synthesize_batch(jax_params, TINY_CFG, codes, dur_prediction=False)
+    assert _generator_jit._cache_size() <= 2  # [3,C,7] and [2,C,11]
+    for code, wav in zip(codes, wavs):
+        exact = code_generator_forward(jax_params, TINY_CFG, code,
+                                       dur_prediction=False)
+        np.testing.assert_array_equal(wav, exact)
+
+
+def test_vocode_single_sample_f0_contour(jax_params):
+    """A full per-frame f0 contour through vocode() must reach synthesis
+    intact (regression: the batch path once collapsed it to its first
+    frame). Two different contours must produce different waveforms."""
+    import copy
+
+    from slamkit_tpu.vocoder.hifi_gan_vocoder import HiFiGANVocoder
+    from slamkit_tpu.vocoder.hifigan_jax import code_generator_forward
+
+    cfg = dict(TINY_CFG, f0=True, model_in_dim=TINY_CFG["embedding_dim"] + 1)
+    # widen conv_pre's input channel for the concatenated f0 row
+    params = copy.deepcopy(jax_params)
+    w = params["conv_pre"]["w"]
+    params["conv_pre"]["w"] = np.concatenate(
+        [w, 0.1 * np.ones_like(w[:, :1])], axis=1)
+
+    voc = HiFiGANVocoder.__new__(HiFiGANVocoder)
+    voc.params, voc.cfg = params, cfg
+    voc.speakers = voc.styles = None
+    voc.has_dur_predictor = False
+    voc.bucket_frames = None
+    code = np.array([1, 5, 3, 3, 7])
+    f0_a = np.linspace(80.0, 220.0, 5, dtype=np.float32)
+    f0_b = np.full(5, 80.0, np.float32)
+    wav_a = voc.vocode(code, f0=f0_a)
+    wav_b = voc.vocode(code, f0=f0_b)
+    assert wav_a.shape == wav_b.shape == (5 * 8,)
+    assert np.abs(wav_a - wav_b).max() > 0
+    want = code_generator_forward(params, cfg, code[None], f0=f0_a)
+    np.testing.assert_array_equal(wav_a, want)
+    # batch path demands per-sample f0 lists — a bare array is rejected
+    with pytest.raises(ValueError, match="per-sample"):
+        voc.vocode_batch([code, code], f0=f0_a)
+    outs = voc.vocode_batch([code, code], f0=[f0_a, f0_b])
+    np.testing.assert_array_equal(outs[0], wav_a)
+    np.testing.assert_array_equal(outs[1], wav_b)
+
+
 def test_vocode_batch_mixed_empty(jax_params, monkeypatch):
     """HiFiGANVocoder.vocode_batch keeps order and maps empty/invalid code
     lists to empty waveforms (reference vocoder.py:79-81 semantics)."""
@@ -221,11 +278,17 @@ def test_vocode_batch_mixed_empty(jax_params, monkeypatch):
     voc.params, voc.cfg = jax_params, TINY_CFG
     voc.speakers = voc.styles = None
     voc.has_dur_predictor = False
-    voc.bucket_frames = 16
+    voc.bucket_frames = None
     outs = voc.vocode_batch([np.array([1, 2, 3]), np.array([-1, -2]),
                              np.array([4, 5, 6, 7])])
     assert outs[0].shape == (3 * 8,)
     assert outs[1].size == 0
     assert outs[2].shape == (4 * 8,)
+    # exact default: batch output == single-sample path, bitwise
     single = voc.vocode(np.array([1, 2, 3]))
-    np.testing.assert_allclose(single, outs[0], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(single, outs[0])
+    # bucketed opt-in still maps empties/order correctly
+    voc.bucket_frames = 16
+    outs_b = voc.vocode_batch([np.array([1, 2, 3]), np.array([-1, -2]),
+                               np.array([4, 5, 6, 7])])
+    assert outs_b[0].shape == (3 * 8,) and outs_b[1].size == 0
