@@ -74,23 +74,60 @@ def compare(got_path, ref_path, label):
     return True
 
 
+def _fixture_recipes():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_hubert_fixture", os.path.join(HERE, "make_hubert_fixture.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def fabricate(root):
+    """Full-size hubert-base with the SAME deterministic fabricated weights
+    the recorded fixture uses (make_hubert_fixture.FULL + fabricate_*), so
+    the CLI output can be compared against the torch-recorded unit ids."""
     import numpy as np
     import transformers
 
+    mk = _fixture_recipes()
     hub = os.path.join(root, "hubert")
     if not os.path.isdir(hub):
-        cfg = transformers.HubertConfig(
-            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-            intermediate_size=3072, vocab_size=32,
-            conv_dim=(512, 512, 512, 512, 512, 512, 512),
-            do_stable_layer_norm=True, feat_extract_norm="layer")
-        transformers.HubertModel(cfg).save_pretrained(hub)
+        model = transformers.HubertModel(transformers.HubertConfig(**mk.FULL))
+        model.load_state_dict(mk.fabricate_state_dict(model))
+        model.save_pretrained(hub)
     km = os.path.join(root, "km500.npy")
     if not os.path.isfile(km):
-        np.save(km, np.random.default_rng(0).standard_normal(
-            (500, 768)).astype(np.float32))
+        np.save(km, mk.fabricate_kmeans(mk.FULL["hidden_size"]))
     return hub, km
+
+
+def check_against_recorded_units(feats_path) -> bool:
+    """Gate the CLI's features.jsonl against the committed torch-recorded
+    fixture: per file, RLE-deduped recorded units must equal the jsonl's
+    'units'. This ties the WHOLE stage-1 CLI (native audio decode, batching,
+    JAX encoder, k-means, trim, dedup) to the reference torch semantics at
+    true hubert-base shapes — no network needed."""
+    import numpy as np
+
+    fixture = os.path.join(REPO, "tests", "fixtures", "hubert_parity.npz")
+    z = np.load(fixture)
+    if "full::tap_layer" not in z.files:
+        print("fixture lacks the full-size recording; skipping unit gate")
+        return True
+    names = bytes(z["full::names"]).decode().split("\n")
+    got = by_file(feats_path)
+    ok = True
+    for i, name in enumerate(names):
+        raw = z[f"full::units_{i}"]
+        dedup = raw[np.insert(np.diff(raw) != 0, 0, True)].tolist()
+        if got[name]["units"] != dedup:
+            print(f"UNIT MISMATCH vs recorded torch semantics: {name}")
+            ok = False
+    if ok:
+        print(f"stage-1 CLI == recorded torch units ({len(names)} files)")
+    return ok
 
 
 def main():
@@ -122,17 +159,22 @@ def main():
 
     if args.fabricate:
         # harness health: (1) determinism across runs, (2) the comparator
-        # detects the expected random-weight mismatch against golden
+        # detects the expected fabricated-weight mismatch against golden,
+        # (3) CLI units == the committed torch-recorded fixture units at
+        # true hubert-base shapes
         feats2 = os.path.join(args.work, "features2.jsonl")
         if os.path.exists(feats2):
             os.remove(feats2)
         run_stage1(hubert, kmeans, layer, feats2, args.audio)
         assert by_file(feats) == by_file(feats2), "extraction not deterministic"
         assert not compare(feats, os.path.join(REF, "features.jsonl"),
-                           "features(random weights, mismatch expected)"), \
+                           "features(fabricated weights, mismatch expected)"), \
             "comparator failed to flag a mismatch"
-        print("harness OK (fabricated weights). Run without --fabricate and "
-              "with the real mhubert-25hz + km500 for the bit-parity proof.")
+        assert check_against_recorded_units(feats), \
+            "stage-1 CLI diverges from the recorded torch semantics"
+        print("harness OK (fabricated weights, full-size, torch-recorded "
+              "unit gate passed). Run without --fabricate and with the real "
+              "mhubert-25hz + km500 for the bit-parity proof.")
         return
 
     ok = compare(feats, os.path.join(REF, "features.jsonl"), "features.jsonl")
