@@ -43,16 +43,20 @@ def _resolve_torch_device(torch_device: Optional[str]) -> str:
     generative_metric.py:120-121,149-150); here the SLM lives on TPU, so the
     torch-side components take their own device: cfg metric.torch_device, or
     cuda when available, else cpu."""
+    resolved = "cpu"
     if torch_device:
-        return torch_device
-    try:
-        import torch
+        resolved = torch_device
+    else:
+        try:
+            import torch
 
-        if torch.cuda.is_available():
-            return "cuda"
-    except Exception:
-        pass
-    return "cpu"
+            if torch.cuda.is_available():
+                resolved = "cuda"
+        except Exception:
+            pass
+    logger.info("torch-side metric components (Whisper/text-LM/judge) on "
+                "device %r", resolved)
+    return resolved
 
 
 def get_cut_location(alignment: List[Tuple[str, float, float]],

@@ -218,6 +218,15 @@ class UnitLM:
             bad_mask = jnp.asarray(m)
         if rng is None:
             rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
+        # 1.0 is a numerical no-op for every warper; map it to None here so the
+        # traced decode loop elides the full-vocab sort/softmax/cumsum entirely
+        # (callers sweeping knobs pass non-1.0 values and still share a program).
+        if temperature is not None and float(temperature) == 1.0:
+            temperature = None
+        if top_p is not None and float(top_p) >= 1.0:
+            top_p = None
+        if repetition_penalty is not None and float(repetition_penalty) == 1.0:
+            repetition_penalty = None
         out = _generate(self.params, self.decoder, input_ids,
                         jnp.asarray(attention_mask), rng,
                         max_new_tokens=max_new_tokens, do_sample=do_sample,

@@ -192,22 +192,31 @@ class InterleavingTokeniser(AudioTokeniser):
         modalities = self._assign_interleaved_modality(rep["aligned_text"], rng)
         return self._create_interleaved_text(rep, modalities)
 
-    def _row_rng(self, rep: Dict, index: int):
-        """Per-row Generator keyed on (interleave_seed, file_name) — stable
-        under any thread scheduling; None when unseeded (global state)."""
+    def _row_rng(self, rep: Dict, occurrence: int):
+        """Per-row Generator keyed on (interleave_seed, file_name[, occ]) —
+        stable under any thread scheduling / row order for unique names;
+        rows that share a file_name (or lack one) additionally fold their
+        occurrence counter so duplicates draw decorrelated streams.
+        None when unseeded (global numpy state, reference behavior)."""
         if self.interleave_seed is None:
             return None
         import zlib
 
-        key = str(rep.get("file_name", index))
-        return np.random.default_rng(
-            (self.interleave_seed, zlib.crc32(key.encode("utf-8"))))
+        key = str(rep.get("file_name", ""))
+        seed = (self.interleave_seed, zlib.crc32(key.encode("utf-8")))
+        if occurrence or not rep.get("file_name"):
+            seed = seed + (occurrence + 1,)
+        return np.random.default_rng(seed)
 
     def stringify_representation(self, reps: List[Dict], mode: str = "test") -> List[str]:
         out = []
-        for i, cur in enumerate(reps):
+        seen: Dict[str, int] = {}
+        for cur in reps:
             if mode == "train":
-                out.append(self._interleave_units(cur, self._row_rng(cur, i)))
+                name = str(cur.get("file_name", ""))
+                occ = seen.get(name, 0)
+                seen[name] = occ + 1
+                out.append(self._interleave_units(cur, self._row_rng(cur, occ)))
             elif mode == "test":
                 out.append("".join(f"<Un{u}>" for u in cur["units"]))
         return out

@@ -92,10 +92,14 @@ class HiFiGANVocoder(AudioVocoder):
         default (None) keeps reference-exact outputs: same-length samples
         still batch together, distinct lengths compile per length."""
         n = len(token_lists)
+        if kwargs:
+            raise TypeError(f"vocode_batch got unexpected kwargs: {sorted(kwargs)}")
         if f0 is not None:
-            if not isinstance(f0, (list, tuple)) or len(f0) != n:
+            # any per-sample sequence works (list, tuple, 2-D ndarray of
+            # contours, ...) — only a bare scalar / 1-D contour is ambiguous
+            if np.isscalar(f0) or not hasattr(f0, "__len__") or len(f0) != n:
                 raise ValueError(
-                    "vocode_batch f0 must be a per-sample list (len "
+                    "vocode_batch f0 must be a per-sample sequence (len "
                     f"{n}); pass voc.vocode(tokens, f0=contour) for one "
                     "sample")
         codes, keep = [], []

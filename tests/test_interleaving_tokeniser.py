@@ -119,6 +119,30 @@ def test_seeded_stringify_reproducible(text_tok_dir):
                                                           mode="train")))
 
 
+def test_seeded_duplicate_names_decorrelate(text_tok_dir):
+    """Rows sharing a file_name (or lacking one) fold an occurrence counter
+    into the seeded rng key, so their modality-assignment streams differ
+    (ADVICE r3: identical keys correlated duplicated rows)."""
+    rep = {
+        "file_name": "same.wav",
+        "units": list(range(40)),
+        "duration": [1] * 40,
+        "aligned_text": [(f"w{k}", k * 0.25, (k + 1) * 0.25) for k in range(8)],
+    }
+    t = InterleavingTokeniser(
+        FakeFE(), num_units=N_UNITS, text_tokeniser_path=text_tok_dir,
+        interleave_method="random", interleave_seed=123)
+    # 8 copies of the same name: at least one pair must draw differently
+    dup = t.stringify_representation([dict(rep)] * 8, mode="train")
+    assert len(set(dup)) > 1
+    # still deterministic run-to-run
+    assert dup == t.stringify_representation([dict(rep)] * 8, mode="train")
+    # nameless rows decorrelate the same way
+    anon = [{k: v for k, v in rep.items() if k != "file_name"} for _ in range(8)]
+    out = t.stringify_representation(anon, mode="train")
+    assert len(set(out)) > 1
+
+
 def test_stringify_test_mode(tok):
     reps = [{"units": [1, 2, 3], "duration": [1, 1, 1]}]
     assert tok.stringify_representation(reps, mode="test") == ["<Un1><Un2><Un3>"]
