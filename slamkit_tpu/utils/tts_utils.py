@@ -1,69 +1,126 @@
-"""TTS helpers (reference slamkit/utils/tts_utils.py:38-95).
+"""Text-to-speech helpers used by the data-prep utilities.
 
-FastSpeech2 (fairseq hub) with word-level time alignment extracted from the
-decoder attention, and the Kokoro pipeline helper. Both depend on optional
-packages (fairseq / g2p_en / kokoro) imported lazily — environments without
-them get a clear ImportError at call time, not import time."""
+Behavioral spec comes from the reference's TTS module (reference
+slamkit/utils/tts_utils.py:38-95): synthesize with the fairseq FastSpeech2
+hub model and recover word-level (start, end) times from the decoder's
+frame->phoneme attention; plus a one-call Kokoro pipeline.
+
+The design here differs from the reference on purpose: alignment recovery is
+a standalone numpy function (`attention_to_word_times`) with no torch/fairseq
+dependency, so it is unit-testable offline and reusable for any TTS model
+that exposes a per-frame phoneme-index track. The fairseq wrapper is a thin
+shell around it. All heavyweight imports stay lazy: environments without
+fairseq / g2p_en / kokoro fail at call time with a normal ImportError.
+"""
 from __future__ import annotations
 
-from typing import Generator, List, Optional
+from typing import Generator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# FastSpeech2's vocoder consumes one mel frame per 256 output samples; frame
+# index * HOP / sample_rate converts attention positions to seconds.
+_HOP_SAMPLES = 256
+
+# g2p emits punctuation tokens; the reference folds breaks to "sp" and then
+# keeps alphanumeric symbols only, so a word's phoneme count excludes them.
+_BREAK_SUBSTITUTIONS = {",": "sp", ";": "sp"}
+
+
+def clean_phonemes(raw: Sequence[str]) -> List[str]:
+    """Normalize a g2p phoneme sequence to the symbols FastSpeech2 consumed:
+    breaks become "sp", anything non-alphanumeric is dropped."""
+    subbed = (_BREAK_SUBSTITUTIONS.get(p, p) for p in raw)
+    return [p for p in subbed if p.isalnum()]
+
+
+def attention_to_word_times(
+    frame_tokens: np.ndarray,
+    phoneme_counts: Sequence[int],
+    words: Sequence[str],
+    sample_rate: int,
+) -> List[Tuple[str, float, float]]:
+    """Turn a per-frame attended-phoneme-index track into word time spans.
+
+    frame_tokens: int array [T]; frame_tokens[t] is the phoneme-token index
+      the decoder attended to while emitting frame t (token 0 is BOS, so the
+      first word's phonemes start at index 1).
+    phoneme_counts: number of (cleaned) phonemes per word.
+    Returns [(" word", start_s, end_s), ...] — the leading space and the
+    3-decimal rounding match the reference's alignment records.
+
+    A word's span runs from the first frame attending to its first phoneme
+    through the last frame attending to its last phoneme (identical to the
+    reference's equality-match walk, reference tts_utils.py:60-78, but done
+    with flatnonzero instead of a broadcast-compare on device).
+    """
+    track = np.asarray(frame_tokens).reshape(-1)
+    spans: List[Tuple[str, float, float]] = []
+    token_pos = 1  # skip BOS
+    for word, count in zip(words, phoneme_counts):
+        lo_frames = np.flatnonzero(track == token_pos)
+        hi_frames = np.flatnonzero(track == token_pos + count - 1)
+        if lo_frames.size == 0 or hi_frames.size == 0:
+            raise ValueError(
+                f"no frame attends to phonemes of word {word!r} "
+                f"(tokens {token_pos}..{token_pos + count - 1})")
+        start = int(lo_frames[0]) * _HOP_SAMPLES / sample_rate
+        end = int(hi_frames[-1]) * _HOP_SAMPLES / sample_rate
+        spans.append((" " + word, round(start, 3), round(end, 3)))
+        token_pos += count
+    return spans
 
 
 class FastSpeech2:
-    """facebook/fastspeech2-en-ljspeech wrapper that also extracts word-level
-    alignment from attention (reference tts_utils.py:6-78)."""
+    """fairseq-hub facebook/fastspeech2-en-ljspeech with word alignment."""
+
+    HUB_NAME = "facebook/fastspeech2-en-ljspeech"
 
     def __init__(self, cache_dir: Optional[str] = None, save_sr: int = 16000,
                  eos_padding: int = 30):
         import torch
+        import g2p_en
         from fairseq.checkpoint_utils import \
             load_model_ensemble_and_task_from_hf_hub
         from fairseq.models.text_to_speech.hub_interface import TTSHubInterface
-        import g2p_en
 
-        models, cfg, self.task = load_model_ensemble_and_task_from_hf_hub(
-            "facebook/fastspeech2-en-ljspeech",
+        ensemble, hub_cfg, self.task = load_model_ensemble_and_task_from_hf_hub(
+            self.HUB_NAME,
             arg_overrides={"vocoder": "hifigan", "fp16": False},
             cache_dir=cache_dir)
         self.sr = self.task.sr
         self.save_sr = save_sr
         self.eos_padding = eos_padding
-        self.device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
         self.g2p = g2p_en.G2p()
-        self.model = models[0].to(self.device)
-        TTSHubInterface.update_cfg_with_data_cfg(cfg, self.task.data_cfg)
-        self.generator = self.task.build_generator(models, cfg)
+        self.device = torch.device(
+            "cuda" if torch.cuda.is_available() else "cpu")
+        self.model = ensemble[0].to(self.device)
+        TTSHubInterface.update_cfg_with_data_cfg(hub_cfg, self.task.data_cfg)
+        self.generator = self.task.build_generator(ensemble, hub_cfg)
 
-    def generate_wav(self, text: str, alignment: bool = False):
-        import torch
+    def _synthesize(self, text: str):
         from fairseq.models.text_to_speech.hub_interface import TTSHubInterface
 
         sample = TTSHubInterface.get_model_input(self.task, text)
-        sample["net_input"]["src_tokens"] = sample["net_input"]["src_tokens"].to(self.device)
-        sample["net_input"]["src_lengths"] = sample["net_input"]["src_lengths"].to(self.device)
-        output = self.generator.generate(self.model, sample)
+        net_input = sample["net_input"]
+        for key in ("src_tokens", "src_lengths"):
+            net_input[key] = net_input[key].to(self.device)
+        return self.generator.generate(self.model, sample)
+
+    def generate_wav(self, text: str, alignment: bool = False):
+        output = self._synthesize(text)
         if not alignment:
             return output
-        attn = output[0]["attn"]
-        current_index = 1
-        aligned = []
-        for word in text.split():
-            phonemes = [{",": "sp", ";": "sp"}.get(p, p) for p in self.g2p(word)]
-            phonemes = [c for c in phonemes if c.isalnum()]
-            first, last = current_index, current_index + len(phonemes) - 1
-            idx = (torch.tensor((first, last), dtype=torch.float32,
-                                device=self.device).unsqueeze(1) == attn
-                   ).nonzero(as_tuple=True)[1]
-            aligned.append((" " + word,
-                            round((idx[0].item() * 256) / self.sr, 3),
-                            round((idx[-1].item() * 256) / self.sr, 3)))
-            current_index += len(phonemes)
-        return output, aligned
+        words = text.split()
+        counts = [len(clean_phonemes(self.g2p(w))) for w in words]
+        track = output[0]["attn"].detach().cpu().numpy()
+        return output, attention_to_word_times(track, counts, words, self.sr)
 
 
-def kokoro(texts: List[str], voice: str = "af_heart", speed: int = 1) -> Generator:
-    """hexgrad/Kokoro-82M pipeline helper (reference tts_utils.py:81-95)."""
+def kokoro(texts: List[str], voice: str = "af_heart",
+           speed: int = 1) -> Generator:
+    """Run the hexgrad/Kokoro-82M pipeline over texts; the first letter of
+    the voice name selects the language code (Kokoro's convention)."""
     from kokoro import KPipeline
 
-    pipeline = KPipeline(lang_code=voice[0])
-    return pipeline(texts, voice=voice, speed=speed)
+    return KPipeline(lang_code=voice[0])(texts, voice=voice, speed=speed)

@@ -109,3 +109,64 @@ def test_spoken_datasets_write_distinct_files(tmp_path, monkeypatch):
     dp.create_spoken_hellaswag("x", str(tmp_path))
     assert written == ["spoken_swag_validation.jsonl",
                        "spoken_hellaswag_validation.jsonl"]
+
+
+def test_tts_alignment_pure_function():
+    """attention_to_word_times reproduces the reference's equality-match walk
+    (reference tts_utils.py:60-78) from a per-frame phoneme-index track."""
+    import numpy as np
+    from slamkit_tpu.utils.tts_utils import (attention_to_word_times,
+                                             clean_phonemes)
+
+    # BOS on frames 0-1, then tokens 1..5 over contiguous frame runs
+    track = np.array([0, 0, 1, 1, 1, 2, 2, 3, 3, 3, 4, 4, 5, 5, 5])
+    spans = attention_to_word_times(track, [2, 3], ["hi", "there"], 16000)
+    assert spans == [(" hi", round(2 * 256 / 16000, 3), round(6 * 256 / 16000, 3)),
+                     (" there", round(7 * 256 / 16000, 3), round(14 * 256 / 16000, 3))]
+
+    # equivalence against a direct transcription of the reference walk, on a
+    # random monotone track
+    import torch
+    rng = np.random.default_rng(0)
+    counts = [3, 1, 4]
+    n_tok = 1 + sum(counts)
+    track = np.repeat(np.arange(n_tok), rng.integers(1, 5, n_tok))
+    attn = torch.tensor(track)
+    ref, cur = [], 1
+    for w, c in zip(["a", "b", "c"], counts):
+        idx = (torch.tensor((cur, cur + c - 1), dtype=torch.float32).unsqueeze(1)
+               == attn).nonzero(as_tuple=True)[1]
+        ref.append((" " + w, round(idx[0].item() * 256 / 22050, 3),
+                    round(idx[-1].item() * 256 / 22050, 3)))
+        cur += c
+    assert attention_to_word_times(track, counts, ["a", "b", "c"], 22050) == ref
+
+    assert clean_phonemes(["HH", "AY1", ",", ";", "!", "sp"]) == \
+        ["HH", "AY1", "sp", "sp", "sp"]
+
+    with pytest.raises(ValueError, match="no frame attends"):
+        attention_to_word_times(np.array([0, 9]), [1], ["x"], 16000)
+
+
+def test_tts_generate_wav_with_faked_fairseq(monkeypatch):
+    """generate_wav alignment path end-to-end with a faked fairseq output and
+    g2p: phoneme cleaning + attention walk, no fairseq install needed."""
+    import numpy as np
+    import torch
+    from slamkit_tpu.utils import tts_utils
+
+    fs2 = tts_utils.FastSpeech2.__new__(tts_utils.FastSpeech2)
+    fs2.sr = 22050
+    fs2.g2p = lambda w: {"hey": ["HH", "EY1", "!"], "you": ["Y", "UW1"]}[w]
+    track = np.array([0, 1, 1, 2, 2, 2, 3, 4, 4])
+    fake_out = [{"attn": torch.tensor(track), "wav": torch.zeros(9 * 256)}]
+    monkeypatch.setattr(tts_utils.FastSpeech2, "_synthesize",
+                        lambda self, text: fake_out)
+
+    out = fs2.generate_wav("hey you", alignment=False)
+    assert out is fake_out
+    out, spans = fs2.generate_wav("hey you", alignment=True)
+    # "hey" -> 2 cleaned phonemes ("!" dropped): tokens 1..2, frames 1..5
+    # "you" -> tokens 3..4, frames 6..8
+    assert spans == [(" hey", round(1 * 256 / 22050, 3), round(5 * 256 / 22050, 3)),
+                     (" you", round(6 * 256 / 22050, 3), round(8 * 256 / 22050, 3))]
