@@ -141,6 +141,34 @@ class UnitLM:
             self.params = init_params(self.decoder, jax.random.PRNGKey(seed))
         logger.info("UnitLM: %s, %.1fM params", config.base_model_name,
                     param_count(self.params) / 1e6)
+        self._mesh = None
+
+    # -- multi-chip placement --------------------------------------------------
+    def shard(self, mesh, fsdp: bool = False, tp: bool = False):
+        """Place params on `mesh` for multi-device EVAL (the reference's eval
+        runs single-GPU — speech_lm.py:22-55; here the same metrics batch
+        shards over the mesh's 'data' axis). fsdp shards params over 'data'
+        (zero-3 style), tp applies the Megatron specs over 'model'; default
+        replicates. After this, log_likelihood/generate place their token
+        batches as P('data', ...) and jit follows the input shardings."""
+        from ..parallel.mesh import param_shardings, tp_shardings
+
+        shardings = (tp_shardings(self.params, mesh) if tp
+                     else param_shardings(self.params, mesh, fsdp=fsdp))
+        self.params = jax.device_put(self.params, shardings)
+        self._mesh = mesh
+        return self
+
+    def _place_batch(self, arr):
+        """Shard a [B, ...] eval batch over the mesh's 'data' axis (no-op off
+        mesh). B must divide by the data-axis size, like the trainer."""
+        if getattr(self, "_mesh", None) is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (np.ndim(arr) - 1)))
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(self._mesh, spec))
 
     # -- core compute ---------------------------------------------------------
     def loss_fn(self, params, batch: dict, dropout_rng=None) -> jax.Array:
@@ -178,7 +206,7 @@ class UnitLM:
         if rem:
             tokens = np.pad(tokens, [(0, 0)] * (tokens.ndim - 1) + [(0, rem)],
                             constant_values=self.config.pad_token_id)
-        tokens = jnp.asarray(tokens)
+        tokens = self._place_batch(tokens)
         ignore_mask = None
         if ignore_tokens is not None:
             m = np.zeros((self.decoder.vocab_size,), bool)
@@ -207,7 +235,7 @@ class UnitLM:
             input_ids = np.pad(input_ids, [(0, 0), (rem, 0)],
                                constant_values=self.config.pad_token_id)
             attention_mask = np.pad(attention_mask, [(0, 0), (rem, 0)])
-        input_ids = jnp.asarray(input_ids)
+        input_ids = self._place_batch(input_ids)
         bad_mask = None
         if bad_words_ids:
             m = np.zeros((self.decoder.vocab_size,), bool)
@@ -228,7 +256,7 @@ class UnitLM:
         if repetition_penalty is not None and float(repetition_penalty) == 1.0:
             repetition_penalty = None
         out = _generate(self.params, self.decoder, input_ids,
-                        jnp.asarray(attention_mask), rng,
+                        self._place_batch(attention_mask), rng,
                         max_new_tokens=max_new_tokens, do_sample=do_sample,
                         temperature=temperature, top_k=top_k, top_p=top_p,
                         repetition_penalty=repetition_penalty,
