@@ -98,6 +98,14 @@ class HubertFeatureExtractor(AudioFeatureExtractor):
     def _load_config(pretrained_model: str) -> HubertConfig:
         import json
 
+        if str(pretrained_model).endswith(".pt"):
+            import torch
+
+            from .hubert_jax import config_from_fairseq, fairseq_model_cfg
+
+            state = torch.load(pretrained_model, map_location="cpu",
+                               weights_only=False)
+            return config_from_fairseq(fairseq_model_cfg(state))
         local = os.path.join(pretrained_model, "config.json")
         if os.path.isfile(local):
             with open(local) as f:

@@ -244,10 +244,126 @@ def convert_hf_state_dict(sd: dict, cfg: HubertConfig) -> dict:
 
 
 def load_hf_hubert(model_name_or_path: str):
-    """Load an HF Hubert checkpoint (local dir or cached hub id) -> (params, cfg)."""
+    """Load an HF Hubert checkpoint (local dir or cached hub id) -> (params, cfg).
+    A path ending in .pt is treated as a fairseq/textless checkpoint instead
+    (the layout textlesslib's registry ships, e.g. hubert_base_ls960.pt)."""
+    if str(model_name_or_path).endswith(".pt"):
+        return load_fairseq_hubert(model_name_or_path)
     from transformers import HubertConfig as HFConfig, HubertModel
 
     model = HubertModel.from_pretrained(model_name_or_path)
     cfg = HubertConfig.from_hf_dict(model.config.to_dict())
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     return convert_hf_state_dict(sd, cfg), cfg
+
+
+# --------------------------------------------------------------------------- #
+# fairseq / textless checkpoint layout (.pt with {"model": sd, "cfg"|"args"})
+# --------------------------------------------------------------------------- #
+def _parse_conv_feature_layers(spec):
+    """fairseq encodes the conv stack as a python-expression string like
+    '[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2'; parse it without
+    eval: literal lists joined by '+', optionally repeated with '* n'."""
+    if isinstance(spec, (list, tuple)):
+        return [tuple(x) for x in spec]
+    import ast
+
+    layers = []
+    for term in str(spec).split("+"):
+        term, reps = term.strip(), 1
+        if "*" in term:
+            term, n = term.rsplit("*", 1)
+            term, reps = term.strip(), int(n.strip())
+        layers.extend([tuple(t) for t in ast.literal_eval(term)] * reps)
+    return layers
+
+
+def config_from_fairseq(model_cfg: dict) -> HubertConfig:
+    """fairseq HubertConfig field names -> ours (HF-equivalent semantics:
+    extractor_mode 'default' = group norm on block 0, 'layer_norm' =
+    per-block fp32 layer norm; layer_norm_first = stable-layer-norm)."""
+    triples = _parse_conv_feature_layers(model_cfg.get(
+        "conv_feature_layers",
+        "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"))
+    dims, kernels, strides = (tuple(t) for t in zip(*triples))
+    mode = str(model_cfg.get("extractor_mode", "default"))
+    return HubertConfig(
+        conv_dim=dims, conv_kernel=kernels, conv_stride=strides,
+        conv_bias=bool(model_cfg.get("conv_bias", False)),
+        feat_extract_norm="layer" if mode == "layer_norm" else "group",
+        hidden_size=int(model_cfg.get("encoder_embed_dim", 768)),
+        num_hidden_layers=int(model_cfg.get("encoder_layers", 12)),
+        num_attention_heads=int(model_cfg.get("encoder_attention_heads", 12)),
+        intermediate_size=int(model_cfg.get("encoder_ffn_embed_dim", 3072)),
+        num_conv_pos_embeddings=int(model_cfg.get("conv_pos", 128)),
+        num_conv_pos_embedding_groups=int(model_cfg.get("conv_pos_groups", 16)),
+        do_stable_layer_norm=bool(model_cfg.get("layer_norm_first", False)),
+    )
+
+
+def _fairseq_key_to_hf(key: str) -> Optional[str]:
+    """Rename one fairseq HubertModel weight key to HF HubertModel layout
+    (the mapping HF's conversion script applies); None = pretraining-only
+    weight (mask embedding, target codebook, final projection) we drop."""
+    import re
+
+    if key in ("mask_emb", "label_embs_concat") or key.startswith("final_proj"):
+        return None
+    if key.startswith("layer_norm."):             # pre-projection norm
+        return "feature_projection." + key
+    if key.startswith("post_extract_proj."):
+        return key.replace("post_extract_proj.", "feature_projection.projection.")
+    if key.startswith("encoder.pos_conv.0."):
+        return key.replace("encoder.pos_conv.0.", "encoder.pos_conv_embed.conv.")
+    m = re.fullmatch(r"feature_extractor\.conv_layers\.(\d+)\.(.+)", key)
+    if m:
+        i, rest = m.groups()
+        if rest in ("0.weight", "0.bias"):
+            return f"feature_extractor.conv_layers.{i}.conv.{rest[2:]}"
+        if rest in ("2.weight", "2.bias", "2.1.weight", "2.1.bias"):
+            # block-0 GroupNorm (default mode) / per-block Fp32LayerNorm
+            return (f"feature_extractor.conv_layers.{i}.layer_norm."
+                    + rest.rsplit(".", 1)[-1])
+        return None
+    if key.startswith("encoder.layers."):
+        return (key.replace(".self_attn_layer_norm.", ".layer_norm.")
+                .replace(".self_attn.", ".attention.")
+                .replace(".fc1.", ".feed_forward.intermediate_dense.")
+                .replace(".fc2.", ".feed_forward.output_dense."))
+    if key.startswith("encoder.layer_norm."):
+        return key
+    return None
+
+
+def fairseq_model_cfg(state: dict) -> dict:
+    """Pull the model-config dict out of a fairseq checkpoint: new-style
+    {'cfg': {'model': ...}} (cfg may be an omegaconf node) or old-style
+    {'args': Namespace-or-dict}."""
+    meta = state.get("cfg")
+    if meta is not None:
+        model_cfg = meta["model"] if isinstance(meta, dict) else meta.model
+    else:
+        args = state.get("args", {})
+        model_cfg = args if isinstance(args, dict) else vars(args)
+    return model_cfg if isinstance(model_cfg, dict) else dict(model_cfg)
+
+
+def convert_fairseq_state(state: dict):
+    """fairseq/textless checkpoint dict -> (params pytree, HubertConfig);
+    weights under 'model'."""
+    cfg = config_from_fairseq(fairseq_model_cfg(state))
+
+    sd = {}
+    for k, v in state["model"].items():
+        nk = _fairseq_key_to_hf(str(k))
+        if nk is not None:
+            sd[nk] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return convert_hf_state_dict(sd, cfg), cfg
+
+
+def load_fairseq_hubert(path: str):
+    """Load a fairseq-format HuBERT .pt (the textless registry layout)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_fairseq_state(state)

@@ -211,3 +211,81 @@ def test_kmeans_fit_batched_matches_full():
     chunked = kmeans_fit(blobs, 3, iters=5, seed=0, batch=64)
     np.testing.assert_allclose(np.sort(full, 0), np.sort(chunked, 0),
                                rtol=1e-5, atol=1e-5)
+
+
+def _hf_key_to_fairseq(k: str) -> str:
+    """Build the fairseq-layout weight name for an HF HubertModel key
+    (inverse of the loader's rename map) — test-fixture only."""
+    k = k.replace("encoder.pos_conv_embed.conv.parametrizations.weight.original0",
+                  "encoder.pos_conv.0.weight_g")
+    k = k.replace("encoder.pos_conv_embed.conv.parametrizations.weight.original1",
+                  "encoder.pos_conv.0.weight_v")
+    k = k.replace("encoder.pos_conv_embed.conv.weight_g", "encoder.pos_conv.0.weight_g")
+    k = k.replace("encoder.pos_conv_embed.conv.weight_v", "encoder.pos_conv.0.weight_v")
+    k = k.replace("encoder.pos_conv_embed.conv.", "encoder.pos_conv.0.")
+    k = k.replace("feature_projection.projection.", "post_extract_proj.")
+    k = k.replace("feature_projection.layer_norm.", "layer_norm.")
+    if k.startswith("encoder.layers."):
+        k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
+        k = k.replace(".attention.", ".self_attn.")
+        k = k.replace(".feed_forward.intermediate_dense.", ".fc1.")
+        k = k.replace(".feed_forward.output_dense.", ".fc2.")
+    if k.startswith("feature_extractor.conv_layers."):
+        k = k.replace(".conv.", ".0.")
+        k = k.replace(".layer_norm.", ".2.")  # block-0 group norm slot
+    return k
+
+
+def test_fairseq_checkpoint_layout(tiny_pair, tmp_path):
+    """A fabricated fairseq/textless-layout HuBERT .pt ({'model': sd, 'cfg':
+    {'model': {...}}}, weight_g/v pos-conv, pretraining heads present) parses
+    through load_fairseq_hubert to the IDENTICAL params pytree + config as
+    the HF-format path — so first contact with a real textless checkpoint is
+    not the first parse (VERDICT r3 item 5)."""
+    import jax
+
+    from slamkit_tpu.feature_extractor.hubert_jax import (forward,
+                                                          load_fairseq_hubert)
+
+    model, params, cfg = tiny_pair
+    fsd = {}
+    for k, v in model.state_dict().items():
+        if k == "masked_spec_embed":
+            fsd["mask_emb"] = v  # fairseq's name; dropped by the loader
+            continue
+        fsd[_hf_key_to_fairseq(k)] = v
+    # pretraining-only weights a real checkpoint carries
+    fsd["label_embs_concat"] = torch.zeros(7, 8)
+    fsd["final_proj.weight"] = torch.zeros(8, TINY["hidden_size"])
+    fsd["final_proj.bias"] = torch.zeros(8)
+    model_cfg = dict(
+        conv_feature_layers="[(16,10,5)] + [(16,3,2)] * 1 + [(16,2,2)]",
+        encoder_layers=3, encoder_embed_dim=32, encoder_attention_heads=4,
+        encoder_ffn_embed_dim=64, extractor_mode="default", conv_pos=16,
+        conv_pos_groups=4, layer_norm_first=False, conv_bias=False)
+    torch.save({"model": fsd, "cfg": {"model": model_cfg}},
+               tmp_path / "hubert.pt")
+
+    p2, cfg2 = load_fairseq_hubert(str(tmp_path / "hubert.pt"))
+    assert cfg2 == cfg
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p2, params)
+    wav = np.random.default_rng(3).standard_normal((1, 3200)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(p2, cfg2, wav, tap_layer=2)),
+        np.asarray(forward(params, cfg, wav, tap_layer=2)))
+
+    # old-style {'args': Namespace} metadata parses to the same config
+    import argparse
+
+    torch.save({"model": fsd, "args": argparse.Namespace(**model_cfg)},
+               tmp_path / "hubert_old.pt")
+    _, cfg3 = load_fairseq_hubert(str(tmp_path / "hubert_old.pt"))
+    assert cfg3 == cfg
+
+    # the FE's config-only path reads the same .pt (unit-duration math)
+    from slamkit_tpu.feature_extractor.hubert_feature_extractor import \
+        HubertFeatureExtractor
+    assert HubertFeatureExtractor._load_config(
+        str(tmp_path / "hubert.pt")) == cfg

@@ -292,3 +292,46 @@ def test_vocode_batch_mixed_empty(jax_params, monkeypatch):
     outs_b = voc.vocode_batch([np.array([1, 2, 3]), np.array([-1, -2]),
                                np.array([4, 5, 6, 7])])
     assert outs_b[0].shape == (3 * 8,) and outs_b[1].size == 0
+
+
+def test_fairseq_checkpoint_file_roundtrip(tmp_path, torch_gen, jax_params):
+    """A fabricated textless-layout checkpoint FILE ({'generator': sd} with
+    weight_g/weight_v, torch.save'd) + cfg json parse through load_checkpoint
+    into the identical params pytree, and the vocoder surface built on them
+    produces bitwise-identical audio (VERDICT r3 item 5: first contact with a
+    real checkpoint must not be the first parse)."""
+    import json
+
+    import jax
+
+    from slamkit_tpu.vocoder.hifi_gan_vocoder import HiFiGANVocoder
+    from slamkit_tpu.vocoder.hifigan_jax import load_checkpoint
+
+    disk_sd = {}
+    for k, v in torch_gen.state_dict().items():
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        disk_sd[k] = v
+    torch.save({"generator": disk_sd}, tmp_path / "model.pt")
+    (tmp_path / "config.json").write_text(json.dumps(TINY_CFG))
+
+    params, cfg = load_checkpoint(str(tmp_path / "model.pt"),
+                                  str(tmp_path / "config.json"))
+    assert cfg == TINY_CFG
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(jax_params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, jax_params)
+
+    voc = HiFiGANVocoder.__new__(HiFiGANVocoder)
+    voc.params, voc.cfg = params, cfg
+    voc.speakers = voc.styles = None
+    voc.has_dur_predictor = "dur_predictor" in params
+    voc.bucket_frames = None
+    code = np.array([1, 4, 2, 2, 5])
+    got = voc.vocode(code, f0=np.linspace(90, 200, 5, dtype=np.float32))
+    want = code_generator_forward(jax_params, TINY_CFG, code[None],
+                                  dur_prediction=voc.has_dur_predictor,
+                                  f0=np.linspace(90, 200, 5, dtype=np.float32))
+    np.testing.assert_array_equal(got, np.asarray(want))
