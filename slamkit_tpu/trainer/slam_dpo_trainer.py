@@ -94,6 +94,14 @@ class SLAMDPOTrainer:
         self.eval_rows = ([tokenize_row(r, **tok_kwargs) for r in eval_dataset]
                           if eval_dataset else None)
         self.max_len = self._max_len(self.train_rows + (self.eval_rows or []))
+        # length_buckets=K > 1: pad each batch to the smallest of K corpus
+        # length-quantile targets instead of the corpus-global max — bounded
+        # compiles (K shapes), fewer padded FLOPs on a long-tail corpus, and
+        # an UNCHANGED loss stream (batch composition is untouched; pads are
+        # fully masked). K=1 (default) keeps the single global-max compile.
+        self.bucket_lens = self._bucket_lens(
+            self.train_rows + (self.eval_rows or []),
+            int(args.get("length_buckets", 1) or 1), self.max_len)
 
         bsz = int(args.per_device_train_batch_size) * self.mesh.shape["data"]
         self.batch_size = bsz
@@ -107,16 +115,34 @@ class SLAMDPOTrainer:
         self._build_step()
 
     @staticmethod
-    def _max_len(rows):
-        return max(len(r["prompt_input_ids"]) +
-                   max(len(r["chosen_input_ids"]), len(r["rejected_input_ids"]))
-                   for r in rows)
+    def _row_len(r):
+        return (len(r["prompt_input_ids"]) +
+                max(len(r["chosen_input_ids"]), len(r["rejected_input_ids"])))
+
+    @classmethod
+    def _max_len(cls, rows):
+        return max(cls._row_len(r) for r in rows)
+
+    @classmethod
+    def _bucket_lens(cls, rows, n_buckets: int, max_len: int) -> List[int]:
+        """Ascending pad targets: the (i/K)-quantiles of row lengths rounded
+        up to a multiple of 8, topped by the exact corpus max (so K=1
+        reproduces today's single compile bit-for-bit)."""
+        if n_buckets <= 1:
+            return [max_len]
+        lens = sorted(cls._row_len(r) for r in rows)
+        qs = {lens[(len(lens) * (i + 1)) // n_buckets - 1]
+              for i in range(n_buckets - 1)}
+        return sorted({min(-8 * (-q // 8), max_len) for q in qs} | {max_len})
 
     def _collate(self, rows: List[dict]) -> Dict[str, np.ndarray]:
         """[2B, T]: chosen rows then rejected rows; completion_mask marks the
-        answer tokens whose logprob enters the DPO objective."""
+        answer tokens whose logprob enters the DPO objective. T is the
+        smallest bucket target covering the batch's longest row."""
         pad = self.model.config.pad_token_id
-        B, T = len(rows), self.max_len
+        batch_max = max(self._row_len(r) for r in rows)
+        B = len(rows)
+        T = next(b for b in self.bucket_lens if b >= batch_max)
         ids = np.full((2 * B, T), pad, np.int32)
         comp = np.zeros((2 * B, T), np.float32)
         seg = np.full((2 * B, T), -1, np.int32)

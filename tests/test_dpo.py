@@ -210,3 +210,51 @@ def test_dpo_checkpoint_resume_equivalence(tmp_path):
                     jax.tree_util.tree_leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dpo_length_buckets_equal_loss_stream(tmp_path):
+    """length_buckets=3 pads each batch to a quantile target instead of the
+    corpus-global max: the loss/reward stream is unchanged (batch composition
+    untouched, pads fully masked) while short batches collate to smaller T
+    (VERDICT r3 item 8)."""
+    tok = UnitTokeniser(load_fe=False, num_units=60)
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(16):
+        # long-tail mix: mostly short, a few 10x longer rows
+        p_len, c_len = (40, 60) if i % 8 == 7 else (4, 6)
+        rows.append({"prompt": unit_str(rng.integers(0, 60, p_len)),
+                     "chosen": unit_str(rng.integers(0, 20, c_len)),
+                     "rejected": unit_str(rng.integers(20, 60, c_len))})
+
+    def run(out, buckets):
+        model = UnitLM(UnitLMConfig(base_model_name="EleutherAI/pythia-14m",
+                                    vocab_size=62 + tok.offset,
+                                    twist_init=False), seed=3)
+        args = compose(str(REPO_ROOT / "config"), "preference_alignment_train", [
+            "data.train_path=/dev/null", "data.val_path=/dev/null",
+            f"training_args.output_dir={out}",
+            "training_args.per_device_train_batch_size=1",
+            "training_args.max_steps=4", "training_args.logging_steps=1",
+            "training_args.save_steps=0",
+            f"training_args.length_buckets={buckets}",
+        ]).training_args
+        tr = SLAMDPOTrainer(model, tok, args, rows)
+        state = tr.train()
+        return tr, [r["loss"] for r in state.log_history if "loss" in r]
+
+    tr1, losses1 = run(tmp_path / "b1", 1)
+    tr3, losses3 = run(tmp_path / "b3", 3)
+    # identical up to shape-dependent XLA fusion noise compounding through
+    # optimizer steps (pads are masked; step-1 losses match to float eps)
+    assert losses1[0] == pytest.approx(losses3[0], rel=1e-6)
+    assert losses1 == pytest.approx(losses3, rel=1e-3, abs=1e-4)
+    # single-bucket trainer always pads to the global max
+    assert tr1.bucket_lens == [tr1.max_len]
+    # bucketed trainer has a short target and collates short batches to it
+    assert len(tr3.bucket_lens) >= 2
+    assert tr3.bucket_lens[-1] == tr3.max_len
+    short_T = tr3._collate(tr3.train_rows[:2])["input_ids"].shape[1]
+    assert short_T == tr3.bucket_lens[0] < tr3.max_len
+    long_T = tr3._collate(tr3.train_rows[6:8])["input_ids"].shape[1]
+    assert long_T == tr3.max_len
