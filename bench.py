@@ -15,6 +15,7 @@ import time
 import numpy as np
 
 BASELINE_TOKENS_PER_SEC = 1.4e9 / (24 * 3600)  # reference Slam: 24h / 1.4B tokens
+V5E_PEAK_BF16_FLOPS = 197e12  # per-chip MXU peak, v5e datasheet
 
 
 def main():
@@ -98,11 +99,25 @@ def main():
     dt = time.perf_counter() - t0
 
     tokens_per_sec = n_steps * accum * batch_size * context_len / dt
+
+    # MFU: model FLOPs (6N per token, fwd+bwd) over the chip's bf16 peak.
+    # Attention matmuls add <0.5% here (packed 128-token segments, so ~64
+    # avg keys: 6*S_avg*d_attn*L ≈ 8M vs 6N ≈ 2.2G per token) — omitted.
+    # hw_util additionally counts the full-remat recompute (one extra fwd
+    # ≈ 2N/token), i.e. the fraction of peak the MXU actually sustains.
+    from slamkit_tpu.models.transformer import param_count
+
+    n_params = param_count(params)
+    mfu = tokens_per_sec * 6 * n_params / V5E_PEAK_BF16_FLOPS
+    hw_util = tokens_per_sec * 8 * n_params / V5E_PEAK_BF16_FLOPS
     print(json.dumps({
         "metric": "slam_train_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "hw_util_with_remat": round(hw_util, 4),
+        "params": int(n_params),
     }))
 
 
