@@ -96,7 +96,10 @@ def main():
         "generation_valid_transition_rate": round(valid / max(total, 1), 4),
         "transitions_checked": total,
         "final_eval_loss": eval_loss,
-        "entropy_floor": round(float(np.log(4)), 4),
+        "entropy_floor_ln4": round(float(np.log(4)), 4),
+        # successors drawn with replacement -> ~5% of units have a duplicate;
+        # stationary-weighted exact floor (see scripts/harvest_pretrain.py)
+        "entropy_floor_exact": 1.37965,
     }))
 
 

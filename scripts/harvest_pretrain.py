@@ -1,0 +1,190 @@
+"""Turn a finished on-chip Slam pretrain into committed evidence (VERDICT r3
+item 1): parse the run log + final checkpoint into docs/runs/ artifacts.
+
+Checkpoint trainer_state.json only retains the trailing 50 log windows
+(rotation), so the FULL loss/throughput trajectory is recovered from the
+driver log (INFO dict-repr lines from trainer/slam_trainer.py logging).
+
+Produces, under --doc-dir (default docs/runs/):
+  <name>_trajectory.json   every logged train window + eval entries
+  <name>_trainer_state.json  final checkpoint's state (step, tokens, data_pos)
+  <name>.md                human-readable results: recipe, milestone table,
+                           throughput stats, 24h-budget verdict, and (if
+                           --eval-json is given) the ground-truth quality
+                           eval from scripts/eval_pretrained_markov.py
+
+Usage:
+  python scripts/harvest_pretrain.py /tmp/slam_big/out --log /tmp/slam_big.log \
+      --eval-json /tmp/markov_eval.json --name slam_1p4b
+"""
+import argparse
+import ast
+import json
+import os
+import re
+import shutil
+
+import numpy as np
+
+LOG_RE = re.compile(r"INFO:slamkit_tpu\.trainer\.slam_trainer:(\{.*\})\s*$")
+
+# Exact entropy floor of the seed-12345 successor table: successors are drawn
+# WITH replacement, so ~5% of units have a duplicated successor (3 distinct,
+# probs 1/2,1/4,1/4) — the floor is slightly BELOW ln 4. Stationary-weighted:
+# H* = 1.37965 nats (ppl 3.9735); naive ln 4 = 1.38629.
+EXACT_FLOOR_NATS = 1.37965
+EXACT_FLOOR_PPL = 3.9735
+
+
+def parse_log(path):
+    train, evals = [], []
+    with open(path) as f:
+        for line in f:
+            m = LOG_RE.match(line)
+            if not m:
+                continue
+            try:
+                rec = ast.literal_eval(m.group(1))
+            except (ValueError, SyntaxError):
+                continue
+            if "loss" in rec and "tokens_per_sec" in rec:
+                train.append(rec)
+            elif "eval_loss" in rec:
+                evals.append(rec)
+    return train, evals
+
+
+def final_checkpoint(out_dir):
+    best = None
+    for d in os.listdir(out_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", d)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.join(out_dir, d))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--log", default="/tmp/slam_big.log")
+    ap.add_argument("--eval-json", default=None)
+    ap.add_argument("--name", default="slam_1p4b")
+    ap.add_argument("--doc-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "runs"))
+    args = ap.parse_args()
+
+    train, evals = parse_log(args.log)
+    if not train:
+        raise SystemExit(f"no train windows parsed from {args.log}")
+    os.makedirs(args.doc_dir, exist_ok=True)
+
+    step_ckpt = final_checkpoint(args.out_dir)
+    state = {}
+    if step_ckpt:
+        st_path = os.path.join(step_ckpt[1], "trainer_state.json")
+        if os.path.isfile(st_path):
+            with open(st_path) as f:
+                state = json.load(f)
+            slim = dict(state)
+            slim["log_history"] = f"(trailing 50 windows only — see {args.name}_trajectory.json)"
+            with open(os.path.join(args.doc_dir, f"{args.name}_trainer_state.json"), "w") as f:
+                json.dump(slim, f, indent=1)
+
+    with open(os.path.join(args.doc_dir, f"{args.name}_trajectory.json"), "w") as f:
+        json.dump({"train": train, "eval": evals}, f)
+
+    rates = np.array([r["tokens_per_sec"] for r in train][1:])  # drop compile window
+    tokens = train[-1]["num_input_tokens_seen"]
+    med = float(np.median(rates))
+    evj = None
+    if args.eval_json and os.path.isfile(args.eval_json):
+        with open(args.eval_json) as f:
+            evj = json.load(f)
+
+    # milestone table: every ~500 optimizer steps plus the final window
+    target_steps = list(range(0, train[-1]["step"] + 1, 500))
+    rows, seen = [], set()
+    for t in target_steps + [train[-1]["step"]]:
+        rec = min(train, key=lambda r: abs(r["step"] - t))
+        if rec["step"] in seen:
+            continue
+        seen.add(rec["step"])
+        rows.append(rec)
+
+    lines = [
+        f"# {args.name}: Slam-recipe pretrain on one TPU v5e",
+        "",
+        "The TPU equivalent of the reference's headline run (\"Slam (-DPO): 1.4B",
+        "tokens, 24h, 1xA5000\" — /root/reference/docs/SLAM.md): the REAL",
+        "`config/train.yaml` recipe (360M Qwen2.5-0.5B-arch UnitLM, ctx 1024,",
+        "best-fit packing, bf16 compute/moments, full remat, B=8 x accum 16,",
+        "cosine-min-lr) via `cli/train.py` over a 700M-token synthetic Markov",
+        "unit corpus (500 units, 4 uniform successors: entropy floor ln 4 =",
+        "1.3863 nats) — real speech corpora are egress-blocked here, and the",
+        "chain gives GROUND-TRUTH quality metrics no real corpus has.",
+        "",
+        f"Launched: `python scripts/rehearse_slam.py` (see script for the full",
+        "override list). Artifacts in this directory:",
+        f"`{args.name}_trajectory.json` (every logged window),",
+        f"`{args.name}_trainer_state.json` (final checkpoint state).",
+        "",
+        "## Result",
+        "",
+        f"- **{tokens/1e9:.2f}B real (non-pad) tokens** consumed",
+        f"  over {train[-1]['step']} optimizer steps"
+        + (f" (final checkpoint: step {step_ckpt[0]})" if step_ckpt else ""),
+        f"- **median {med/1e3:.1f}k tokens/s full-loop** (p10 "
+        f"{float(np.percentile(rates, 10))/1e3:.1f}k) across "
+        f"{len(rates)} logged windows",
+        f"- train loss {train[0]['loss']:.4f} -> {train[-1]['loss']:.4f}; the",
+        f"  chain's EXACT entropy floor is {EXACT_FLOOR_NATS} nats / ppl "
+        f"{EXACT_FLOOR_PPL}",
+        "  (successors drawn with replacement: ~5% of units have a duplicate,",
+        "  so the floor sits slightly below the naive ln 4 = 1.3863)",
+    ]
+    for e in evals:
+        lines.append(
+            f"- eval @ step {e['step']}: loss {e['eval_loss']:.4f}, "
+            f"ppl {e.get('eval_ppl', float('nan')):.4f} "
+            f"({e['eval_loss'] - EXACT_FLOOR_NATS:+.4f} nats vs exact floor)")
+    lines += [
+        f"- **24h-budget verdict**: 1.4B tokens at {med/1e3:.1f}k tokens/s = "
+        f"{1.4e9/med/3600:.1f}h on ONE v5e — "
+        f"{24/(1.4e9/med/3600):.1f}x inside the reference's 24h budget; "
+        f"a 24h budget at this rate buys {med*86400/1e9:.1f}B tokens.",
+        "",
+        "## Loss trajectory (milestones)",
+        "",
+        "| step | loss | lr | tokens seen | tokens/s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['step']} | {r['loss']:.4f} | {r['learning_rate']:.2e} "
+                     f"| {r['num_input_tokens_seen']/1e6:.0f}M "
+                     f"| {r['tokens_per_sec']/1e3:.1f}k |")
+    if evj:
+        lines += [
+            "",
+            "## Ground-truth quality eval (scripts/eval_pretrained_markov.py)",
+            "",
+            "The corpus is a known first-order Markov chain, so quality is",
+            "checkable against ground truth (the sWUGGY/sBLIMP decision rule",
+            "applied to chain structure, and generate() validity):",
+            "",
+            "```json",
+            json.dumps(evj, indent=1),
+            "```",
+        ]
+    doc = os.path.join(args.doc_dir, f"{args.name}.md")
+    with open(doc, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", doc)
+    print(json.dumps({"tokens": tokens, "steps": train[-1]["step"],
+                      "median_tokens_per_sec": round(med, 1),
+                      "loss_last": train[-1]["loss"],
+                      "final_ckpt": step_ckpt and step_ckpt[0]}))
+
+
+if __name__ == "__main__":
+    main()
