@@ -171,7 +171,10 @@ def main():
 
     batch = make_batch(np.random.default_rng(0))
     full = run_variant("full", FLASH, "ce", batch, args.iters)
-    xla = run_variant("xla_attn", None, "ce", batch, args.iters)
+    # "xla" forces the XLA reference path; None/auto would re-select flash
+    # on TPU (the bug behind the r4 first-run identical timings)
+    xla = run_variant("xla_attn", None if args.tiny else "xla", "ce", batch,
+                      args.iters)
     noat = run_variant("no_attn", FLASH, "ce", batch, args.iters,
                        patch_no_attn=True)
     nols = run_variant("no_loss", FLASH, "noloss", batch,

@@ -68,6 +68,9 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--log", default="/tmp/slam_big.log")
     ap.add_argument("--eval-json", default=None)
+    ap.add_argument("--wall-seconds", type=float, default=None,
+                    help="total wall-clock of the run (sum of legs), for the "
+                         "end-to-end rate incl. compile + checkpoint saves")
     ap.add_argument("--name", default="slam_1p4b")
     ap.add_argument("--doc-dir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -137,6 +140,13 @@ def main():
         f"- **median {med/1e3:.1f}k tokens/s full-loop** (p10 "
         f"{float(np.percentile(rates, 10))/1e3:.1f}k) across "
         f"{len(rates)} logged windows",
+    ]
+    if args.wall_seconds:
+        lines.append(
+            f"- **{args.wall_seconds/3600:.2f}h wall-clock** end to end "
+            f"(incl. compile + checkpoint saves) = "
+            f"{tokens/args.wall_seconds/1e3:.1f}k tokens/s gross")
+    lines += [
         f"- train loss {train[0]['loss']:.4f} -> {train[-1]['loss']:.4f}; the",
         f"  chain's EXACT entropy floor is {EXACT_FLOOR_NATS} nats / ppl "
         f"{EXACT_FLOOR_PPL}",

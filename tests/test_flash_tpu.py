@@ -2,7 +2,7 @@
 
 The main suite runs on a virtual CPU mesh (conftest), so this file always
 skips there; run it directly on hardware with:
-    JAX_PLATFORMS=<tpu backend> python -m pytest tests/test_flash_tpu.py --no-header
+    SLAMKIT_TEST_TPU=1 python -m pytest tests/test_flash_tpu.py --no-header
 Last validated on v5e: fwd max diff 0.0156 (bf16 ulp), grad rel diff <= 0.7%.
 """
 import numpy as np
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 pytestmark = pytest.mark.skipif(
     jax.default_backend() == "cpu",
-    reason="needs real TPU (the suite's conftest forces the CPU backend)")
+    reason="needs real TPU: run with SLAMKIT_TEST_TPU=1")
 
 
 def test_flash_parity_on_tpu():
