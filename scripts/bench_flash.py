@@ -50,7 +50,7 @@ def make_inputs(B=8, H=14, T=1024, D=64, segs=8, seed=0, Hkv=None):
 
 
 def bench_shape(B, H, T, D, block_q=None, block_k=None, segs=8, iters=20,
-                reps=16, Hkv=None):
+                reps=16, Hkv=None, seg_block_skip=True):
     """Times `reps` chained kernel invocations inside ONE jit (the data
     dependency forces sequential execution), so per-dispatch tunnel latency
     (~1ms) is amortized out of the per-call numbers."""
@@ -61,7 +61,7 @@ def bench_shape(B, H, T, D, block_q=None, block_k=None, segs=8, iters=20,
     q, k, v, seg = make_inputs(B, H, T, D, segs, Hkv=Hkv)
 
     kw = dict(segment_ids=seg, causal=True, sm_scale=D ** -0.5,
-              block_q=block_q, block_k=block_k)
+              block_q=block_q, block_k=block_k, seg_block_skip=seg_block_skip)
 
     @jax.jit
     def fwd(q, k, v):
@@ -130,6 +130,10 @@ def matmul_probe():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="segment-block-skip A/B: block_k x skip-flag x "
+                         "segment length (recipe-like 512-token and short "
+                         "128-token segments)")
     ap.add_argument("--matmul-probe", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--hkv", type=int, default=None,
@@ -142,6 +146,21 @@ def main():
 
     B, H, T, D = 8, 14, 1024, 64
     hkv = args.hkv
+    if args.skip_sweep:
+        for segs in (2, 8):
+            for bk in (256, 512, 1024):
+                row = [f"segs={segs} ({T//segs} tok) bk={bk:4d}:"]
+                for skip in (False, True):
+                    try:
+                        t_f, t_g = bench_shape(
+                            B, H, T, D, None, bk, segs=segs,
+                            iters=args.iters, Hkv=hkv, seg_block_skip=skip)
+                        row.append(f"skip={int(skip)} fwd {t_f*1e3:7.3f} "
+                                   f"bwd+fwd {t_g*1e3:7.3f} ms")
+                    except Exception as e:
+                        row.append(f"skip={int(skip)} FAILED {type(e).__name__}")
+                print("  ".join(row), flush=True)
+        return
     if args.sweep:
         for bq in (64, 128, 256, 512, 1024):
             for bk in (512, 1024):

@@ -68,6 +68,8 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--log", default="/tmp/slam_big.log")
     ap.add_argument("--eval-json", default=None)
+    ap.add_argument("--note", action="append", default=[],
+                    help="extra bullet(s) for the Result section")
     ap.add_argument("--wall-seconds", type=float, default=None,
                     help="total wall-clock of the run (sum of legs), for the "
                          "end-to-end rate incl. compile + checkpoint saves")
@@ -153,6 +155,8 @@ def main():
         "  (successors drawn with replacement: ~5% of units have a duplicate,",
         "  so the floor sits slightly below the naive ln 4 = 1.3863)",
     ]
+    for n in args.note:
+        lines.append(f"- {n}")
     for e in evals:
         lines.append(
             f"- eval @ step {e['step']}: loss {e['eval_loss']:.4f}, "

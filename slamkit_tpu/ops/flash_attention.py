@@ -53,6 +53,7 @@ class FlashConfig:
     block_q_bwd: int = 128             # bwd VMEM holds more live [M, bk] tiles
     block_k_bwd: int = 128
     has_segments: bool = False
+    seg_block_skip: bool = True        # skip panels whose seg-id ranges are disjoint
     interpret: bool = False
     ik_offset: int = 0                 # global index of this call's first k block
                                        # (the chunked backward slices the k axis)
@@ -102,6 +103,21 @@ def _k_seg_panel(k_seg_ref):
     return k_seg_ref[0, :1]                                       # (1, bk)
 
 
+def _seg_overlap(q_seg_ref, k_seg_ref):
+    """True iff the q block's and k block's segment-id RANGES intersect.
+
+    Packed rows carry monotone segment ids (pads are -1), but correctness
+    needs no ordering: if any id appears in both blocks it lies inside both
+    [min, max] ranges, so disjoint ranges prove the whole (M, bk) panel is
+    segment-masked and its matmuls can be skipped. The test is conservative
+    (overlapping ranges without a shared id still compute) and costs two
+    small VPU reductions per panel."""
+    qs = q_seg_ref[0][:, :1]                                      # (bq, 1)
+    ks = k_seg_ref[0, :1]                                         # (1, bk)
+    return ((jnp.max(qs) >= jnp.min(ks)) &
+            (jnp.max(ks) >= jnp.min(qs)))
+
+
 # --------------------------------------------------------------------------- #
 # forward
 # --------------------------------------------------------------------------- #
@@ -121,9 +137,12 @@ def _fwd_kernel(*refs, cfg: FlashConfig, num_k_blocks: int):
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    run = (ik * bk <= iq * bq + bq - 1) if cfg.causal else True
+    run = (ik * bk <= iq * bq + bq - 1) if cfg.causal else None
     # blocks strictly below the diagonal never need the causal compare
     diag = (ik * bk + bk - 1 > iq * bq) if cfg.causal else False
+    if cfg.has_segments and cfg.seg_block_skip:
+        ov = _seg_overlap(q_seg_ref, k_seg_ref)
+        run = ov if run is None else run & ov
 
     def step(apply_causal):
         qf = _fold(q_ref)                                         # (M, d)
@@ -149,7 +168,9 @@ def _fwd_kernel(*refs, cfg: FlashConfig, num_k_blocks: int):
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
-    if cfg.causal:
+    if run is None:
+        step(False)
+    elif cfg.causal:
         @pl.when(run & diag)
         def _masked_step():
             step(True)
@@ -240,8 +261,11 @@ def _bwd_kernel(*refs, cfg: FlashConfig, num_q_blocks: int):
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    run = (ik * bk <= iq * bq + bq - 1) if cfg.causal else True
+    run = (ik * bk <= iq * bq + bq - 1) if cfg.causal else None
     diag = (ik * bk + bk - 1 > iq * bq) if cfg.causal else False
+    if cfg.has_segments and cfg.seg_block_skip:
+        ov = _seg_overlap(q_seg_ref, k_seg_ref)
+        run = ov if run is None else run & ov
 
     def step(apply_causal):
         qf = _fold(q_ref)                                         # (M, d)
@@ -279,20 +303,26 @@ def _bwd_kernel(*refs, cfg: FlashConfig, num_q_blocks: int):
             preferred_element_type=jnp.float32)
         dq_ref[0, 0, 0] = dq.astype(dq_ref.dtype).reshape(g, bq_, -1)
 
-    if cfg.causal:
-        @pl.when(run & diag)
-        def _masked_step():
-            step(True)
+    if run is None:
+        step(False)
+    else:
+        if cfg.causal:
+            @pl.when(run & diag)
+            def _masked_step():
+                step(True)
 
-        @pl.when(run & jnp.logical_not(diag))
-        def _interior_step():
-            step(False)
+            @pl.when(run & jnp.logical_not(diag))
+            def _interior_step():
+                step(False)
+        else:
+            @pl.when(run)
+            def _seg_step():
+                step(False)
 
+        # skipped panels still own this (ik, iq) dQ-partial output block
         @pl.when(jnp.logical_not(run))
         def _skipped():
             dq_ref[...] = jnp.zeros_like(dq_ref)
-    else:
-        step(False)
 
     @pl.when(iq == num_q_blocks - 1)
     def _finish():
@@ -468,6 +498,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     sm_scale: Optional[float] = None,
                     block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
+                    seg_block_skip: bool = True,
                     interpret: bool = False) -> jax.Array:
     """Flash attention over [B, H, T, D] tensors with optional [B, T] segment ids.
 
@@ -527,7 +558,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         causal=causal, sm_scale=sm_scale, groups=groups,
         block_q=block_q, block_k=block_k,
         block_q_bwd=block_q_bwd, block_k_bwd=block_k_bwd,
-        has_segments=segment_ids is not None, interpret=interpret,
+        has_segments=segment_ids is not None, seg_block_skip=seg_block_skip,
+        interpret=interpret,
     )
     out5 = _flash(q5, kp, vp, q_seg, k_seg, cfg)
     out = out5.reshape(batch, heads, t_qp, -1)

@@ -194,3 +194,43 @@ def test_chunked_bwd_bounded_dq_partials():
     for gi, gr in ((1, g_ref[1]), (2, g_ref[2])):
         folded = gr.reshape(b, hkv, hq // hkv, t, d).sum(axis=2)
         np.testing.assert_allclose(g_flash[gi], folded, atol=5e-5, rtol=5e-4)
+
+
+def test_seg_block_skip_equivalence():
+    """seg_block_skip prunes panels whose segment-id ranges are disjoint;
+    outputs and grads must match the unskipped kernel EXACTLY (the pruned
+    panels are fully masked, contributing zeros either way)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), 2, 4, 512, 64)
+    # 3 packed segments + a padded (-1) tail, segment-sized k blocks
+    seg = jnp.asarray(np.repeat([0, 1, 2, -1], [160, 160, 128, 64])[None]
+                      .repeat(2, 0))
+
+    def run(skip):
+        out = FA(q, k, v, segment_ids=seg, causal=True,
+                 block_q=128, block_k=128, seg_block_skip=skip)
+
+        def loss(q, k, v):
+            return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True,
+                              block_q=128, block_k=128,
+                              seg_block_skip=skip) ** 2)
+
+        return out, jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    out_s, grads_s = run(True)
+    out_n, grads_n = run(False)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_n))
+    for gs, gn in zip(grads_s, grads_n):
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(gn))
+
+
+def test_seg_block_skip_noncausal():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(12), 1, 2, 256, 64)
+    seg = jnp.asarray(np.repeat([0, 1], [128, 128])[None])
+    out_s = FA(q, k, v, segment_ids=seg, causal=False,
+               block_q=128, block_k=128, seg_block_skip=True)
+    out_n = FA(q, k, v, segment_ids=seg, causal=False,
+               block_q=128, block_k=128, seg_block_skip=False)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_n))
+    ref = mha_reference(q, k, v, segment_ids=seg, causal=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
