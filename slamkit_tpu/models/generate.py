@@ -55,10 +55,29 @@ def _apply_repetition_penalty(logits, seen, penalty):
 # temperature grid in generation evals) reuses ONE compiled program. Only
 # shape/structure knobs are static: max_new_tokens, do_sample, top_k (the
 # lax.top_k width), eos/pad ids, and each float's None-ness.
+_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "up_w", "gate_w", "down_w")
+
+
+def _quantize_decode_params(params: dict) -> dict:
+    """int8 weight-only quantization of the stacked per-layer matmul weights
+    for the decode loop (decode streams every weight per token — halved
+    bytes halve the HBM floor, scripts/probe_step.py P3 / probe_int8.py).
+    Embeddings (a gather) and the 502-wide f32 logit head stay dense."""
+    from ..ops.quant import quantize_weight
+
+    layers = dict(params["layers"])
+    for key in _QUANT_KEYS:
+        w = layers.get(key)
+        if w is not None and w.ndim == 3:             # [L, d, f] stacked
+            q, s = jax.vmap(quantize_weight)(w)
+            layers[key] = {"q": q, "s": s}
+    return {**params, "layers": layers}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "do_sample", "top_k",
-                     "eos_token_id", "pad_token_id"),
+                     "eos_token_id", "pad_token_id", "weight_quant"),
 )
 def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
              attention_mask: jax.Array, rng: jax.Array,
@@ -68,7 +87,8 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
              eos_token_id: Optional[int] = None,
              pad_token_id: int = 0,
              repetition_penalty: Optional[float] = None,
-             bad_words_mask: Optional[jax.Array] = None) -> jax.Array:
+             bad_words_mask: Optional[jax.Array] = None,
+             weight_quant: Optional[str] = None) -> jax.Array:
     """input_ids [B, L0] LEFT-padded, attention_mask [B, L0].
     Returns [B, L0 + max_new_tokens]; positions after eos hold pad_token_id.
     bad_words_mask: bool [V], True = banned id.
@@ -85,6 +105,10 @@ def generate(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     params = jax.tree_util.tree_map(
         lambda x: x.astype(dt) if x.dtype == jnp.float32 and x.ndim > 1 else x,
         params)
+    if weight_quant == "int8":
+        params = _quantize_decode_params(params)
+    elif weight_quant:
+        raise ValueError(f"unknown weight_quant {weight_quant!r} (only 'int8')")
 
     mask = attention_mask.astype(jnp.int32)
     prompt_seg = jnp.where(mask > 0, 0, -1).astype(jnp.int32)

@@ -216,9 +216,25 @@ def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True,
                          dropout_rng=dropout_rng)
 
 
+def _proj_w(x, w, dt):
+    """[..., d] @ [d, f] projection; w is either a dense array or an int8
+    weight-only dict {"q": int8 [d, f], "s": bf16 [1, f]} (decode path —
+    generate._quantize_decode_params). The Pallas dequant-gemv streams the
+    int8 bytes from HBM so the bf16 tensor never exists there."""
+    if isinstance(w, dict):
+        from ..ops.quant import dq_matmul
+
+        lead = x.shape[:-1]
+        y = dq_matmul(x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                      w["q"], w["s"],
+                      interpret=jax.default_backend() == "cpu")
+        return y.reshape(*lead, y.shape[-1]).astype(dt)
+    return jnp.einsum("btd,df->btf", x, w.astype(dt))
+
+
 def _mlp(x, lp, cfg: DecoderConfig):
     def proj(x, w, b):
-        y = jnp.einsum("btd,df->btf", x, w.astype(x.dtype))
+        y = _proj_w(x, w, x.dtype)
         return y + b.astype(x.dtype) if b is not None else y
 
     up = proj(x, lp["up_w"], lp.get("up_b"))
@@ -263,7 +279,7 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
          if cfg.pre_norm else x)
 
     def proj(inp, w, b):
-        y = jnp.einsum("btd,df->btf", inp, w.astype(dt))
+        y = _proj_w(inp, w, dt)
         return y + b.astype(dt) if b is not None else y
 
     q = _split_heads(proj(h, lp["q_w"], lp.get("q_b")), cfg.num_heads, cfg.head_dim)

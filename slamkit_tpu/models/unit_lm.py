@@ -220,6 +220,7 @@ class UnitLM:
                  repetition_penalty: Optional[float] = None,
                  bad_words_ids: Optional[list] = None,
                  seed: Optional[int] = None, rng: Optional[jax.Array] = None,
+                 weight_quant: Optional[str] = None,
                  **ignored) -> jax.Array:
         """Sampling generation; prompts must be LEFT-padded like the reference
         sets padding_side='left' before building prompts (speech_lm.py:44)."""
@@ -262,7 +263,7 @@ class UnitLM:
                         repetition_penalty=repetition_penalty,
                         eos_token_id=self.config.eos_token_id,
                         pad_token_id=self.config.pad_token_id,
-                        bad_words_mask=bad_mask)
+                        bad_words_mask=bad_mask, weight_quant=weight_quant)
         # drop the bucketing pad so callers see [B, original_L0 + new tokens]
         # (SpeechLM.remove_prompt slices at the original prompt width)
         return out[:, rem:] if rem else out

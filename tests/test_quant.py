@@ -46,3 +46,49 @@ def test_dq_matmul_matches_reference(b, k, n, block_n):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def _tiny_lm():
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    cfg = UnitLMConfig(base_model_name="EleutherAI/pythia-14m", vocab_size=502,
+                       twist_init=False)
+    return UnitLM(cfg, seed=0)
+
+
+def test_int8_decode_logits_close_to_dense():
+    """forward() with {"q","s"} weights (the int8 decode path through the
+    Pallas dequant-gemv, interpret on CPU) vs a dense forward over the SAME
+    dequantized weights — the only difference is accumulation order."""
+    import jax.numpy as jnp
+
+    from slamkit_tpu.models.generate import _QUANT_KEYS, _quantize_decode_params
+    from slamkit_tpu.models.transformer import forward
+    from slamkit_tpu.ops import dequantize_weight
+
+    model = _tiny_lm()
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.ndim > 1 else x, model.params)
+    qparams = _quantize_decode_params(params)
+    assert any(isinstance(qparams["layers"].get(k), dict) for k in _QUANT_KEYS)
+
+    dense = {**qparams, "layers": {
+        k: (dequantize_weight(v["q"], v["s"]) if isinstance(v, dict) else v)
+        for k, v in qparams["layers"].items()}}
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, 502, (2, 16)))
+    lq, _ = forward(qparams, model.decoder, ids)
+    ld, _ = forward(dense, model.decoder, ids)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(ld),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_int8_generate_end_to_end():
+    model = _tiny_lm()
+    prompts = np.random.default_rng(1).integers(2, 502, (2, 8))
+    out = model.generate(prompts, max_new_tokens=6, do_sample=False,
+                         weight_quant="int8")
+    out = np.asarray(out)
+    assert out.shape == (2, 14)
+    assert (out[:, :8] == prompts).all()
+    assert ((out[:, 8:] >= 0) & (out[:, 8:] < 502)).all()
