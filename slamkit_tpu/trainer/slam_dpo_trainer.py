@@ -337,6 +337,10 @@ class SLAMDPOTrainer:
             cb.on_train_begin(args, state, control)
         logging_steps = int(args.get("logging_steps", 50) or 50)
         save_steps = int(args.get("save_steps", 0) or 0)
+        # catch-up due-step schedule (see SLAMTrainer.train): a step that
+        # slips past its multiple saves at the next step, not never
+        save_due = (state.global_step // save_steps + 1) * save_steps \
+            if save_steps else 0
         rng = np.random.default_rng(int(args.get("seed", 0)))
         n_rows = len(self.train_rows)
         order_len = n_rows if n_rows >= self.batch_size else \
@@ -358,7 +362,7 @@ class SLAMDPOTrainer:
         staged = None  # (upload future, epoch, b_idx) of a collated batch
 
         def dispatch_staged():
-            nonlocal staged
+            nonlocal staged, save_due
             fut, s_epoch, s_b_idx = staged
             staged = None
             self.train_state, metrics = self._step(self.train_state,
@@ -371,7 +375,8 @@ class SLAMDPOTrainer:
                            "step": state.global_step})
             for cb in self.callbacks:
                 cb.on_step_end(args, state, control)
-            if save_steps and state.global_step % save_steps == 0:
+            if save_steps and state.global_step >= save_due:
+                save_due = (state.global_step // save_steps + 1) * save_steps
                 self.save_checkpoint()
 
         try:

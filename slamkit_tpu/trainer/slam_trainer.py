@@ -377,6 +377,19 @@ class SLAMTrainer:
         profile_start = int(args.get("profile_start", 3) or 3)
         profiling = False
 
+        # Catch-up due-step schedule: fire when the processed step REACHES the
+        # next due multiple rather than testing `step % interval == 0`.
+        # Equivalent in the normal case, but if a step ever slips past its
+        # multiple unprocessed (observed once on the flaky tunnel backend:
+        # a 1000-step interval lost a save and with it 1000+ steps of resume
+        # progress), the action fires at the next processed step instead of a
+        # full interval later.
+        def _next_due(step: int, interval: int) -> int:
+            return (step // interval + 1) * interval if interval else 0
+
+        save_due = _next_due(state.global_step, save_steps)
+        eval_due = _next_due(state.global_step, eval_steps)
+
         window_loss, window_t0, window_tokens = [], time.time(), 0
         # exact data-stream position, tracked explicitly (steps_per_epoch may
         # be an estimate under packing) and saved in every checkpoint
@@ -400,7 +413,7 @@ class SLAMTrainer:
         inflight: Optional[tuple] = None  # (step_no, metrics future)
 
         def process(entry):
-            nonlocal last_eval_step, last_save_step
+            nonlocal last_eval_step, last_save_step, save_due, eval_due
             nonlocal window_loss, window_t0, window_tokens
             step_no, metrics_fut = entry
             metrics = metrics_fut.result()
@@ -422,10 +435,12 @@ class SLAMTrainer:
                 window_loss, window_t0, window_tokens = [], time.time(), 0
             for cb in self.callbacks:
                 cb.on_step_end(args, state, control)
-            if do_eval and eval_steps and step_no % eval_steps == 0:
+            if do_eval and eval_steps and step_no >= eval_due:
                 control.should_evaluate = True
-            if save_steps and step_no % save_steps == 0:
+                eval_due = _next_due(step_no, eval_steps)
+            if save_steps and step_no >= save_due:
                 control.should_save = True
+                save_due = _next_due(step_no, save_steps)
             if control.should_evaluate:
                 control.should_evaluate = False
                 self.evaluate()
@@ -437,8 +452,8 @@ class SLAMTrainer:
 
         def is_sync_step(step_no: int) -> bool:
             return bool(
-                (save_steps and step_no % save_steps == 0)
-                or (do_eval and eval_steps and step_no % eval_steps == 0))
+                (save_steps and step_no >= save_due)
+                or (do_eval and eval_steps and step_no >= eval_due))
 
         from concurrent.futures import ThreadPoolExecutor
 

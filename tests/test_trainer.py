@@ -244,6 +244,33 @@ def test_resume_across_epoch_boundary(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(z), rtol=1e-5, atol=1e-6)
 
 
+def test_periodic_saves_after_offgrid_resume(tmp_path):
+    """Resuming from a step that is NOT a save_steps multiple (a budget stop
+    or final save lands anywhere) must still produce every later periodic
+    checkpoint. Guards the catch-up due-step schedule: an exact-modulo test
+    alone cannot distinguish 'fired at the multiple' from 'never fired'."""
+    ds = tiny_dataset(128)
+
+    def run(resume=False, **ov):
+        model = tiny_model()
+        args = train_args(tmp_path, gradient_accumulation_steps=2,
+                          save_total_limit=100, **ov)
+        tr = SLAMTrainer(model, args, ds, eval_dataset=tiny_dataset(8, seed=1),
+                         packing=True, context_len=32)
+        tr.train(resume_from_checkpoint=resume)
+
+    # leg 1 stops at the off-grid step 3 (final save -> checkpoint-3)
+    run(max_steps=3, save_steps=0)
+    # leg 2 resumes at 3 with save_steps=4: due steps are 4, 8 (+ final 10),
+    # and the eval/save sync drain runs at the same steps
+    run(resume=True, max_steps=10, save_steps=4,
+        eval_strategy="steps", eval_steps=4)
+    have = sorted(int(p.name.split("-")[1])
+                  for p in (tmp_path / "out").iterdir()
+                  if p.name.startswith("checkpoint-"))
+    assert have == [3, 4, 8, 10], have
+
+
 def test_token_id_range_counting(tmp_path):
     model = tiny_model()
     ds = tiny_dataset()
