@@ -1,0 +1,112 @@
+"""Stall-detecting supervisor for long training runs (SURVEY.md §5.3).
+
+On remote/tunnel device backends an RPC can wedge silently mid-step: the
+training process keeps running but stops making progress and never raises
+(observed on the v5e HTTP tunnel: a 1.4B-token run froze mid-step with no
+traceback; reference parity anchor: the reference's budget callbacks,
+slamkit/trainer/callbacks.py, handle planned stops but nothing handles a
+hung backend). This wraps any training command with:
+
+  * stdout/stderr -> --log, stall = no log write for --stall-seconds;
+  * on stall: SIGKILL the child's process GROUP (the child is launched in
+    its own session — nothing else can match), then relaunch;
+  * relaunches append `cont_training=true` once a checkpoint exists in the
+    run's output_dir, so every restart resumes from the newest COMPLETE
+    checkpoint (trainer/checkpoint.py latest_checkpoint skips dirs from a
+    kill mid-save);
+  * a clean child exit (rc 0) ends supervision; nonzero exits count
+    against --max-restarts too (crash loops should not spin forever).
+
+Usage:
+  python scripts/supervise_train.py --log /tmp/run.log --stall-seconds 900 \
+      -- python cli/train.py model=slam ... training_args.output_dir=/tmp/out
+"""
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _output_dir(cmd):
+    for a in cmd:
+        if a.startswith("training_args.output_dir="):
+            return a.split("=", 1)[1]
+    return None
+
+
+def _has_checkpoint(out_dir):
+    if not out_dir or not os.path.isdir(out_dir):
+        return False
+    for d in os.listdir(out_dir):
+        if (d.startswith("checkpoint-")
+                and os.path.isdir(os.path.join(out_dir, d, "state"))
+                and os.path.isfile(os.path.join(out_dir, d,
+                                                "trainer_state.json"))):
+            return True
+    return False
+
+
+def supervise(cmd, log_path, stall_seconds, max_restarts, poll_seconds=None,
+              resume_override="cont_training=true"):
+    """Run `cmd` under stall supervision; returns the final child rc.
+
+    poll_seconds defaults to stall_seconds/4 (tests shrink both).
+    resume_override is appended on restarts once a checkpoint exists
+    (pass None to relaunch the command unchanged)."""
+    poll = poll_seconds or max(stall_seconds / 4.0, 1.0)
+    out_dir = _output_dir(cmd)
+    restarts = 0
+    while True:
+        run_cmd = list(cmd)
+        if (restarts and resume_override and resume_override not in run_cmd
+                and _has_checkpoint(out_dir)):
+            run_cmd.append(resume_override)
+        with open(log_path, "ab", buffering=0) as logf:
+            logf.write(f"[supervisor] launch (attempt {restarts + 1}): "
+                       f"{' '.join(run_cmd)}\n".encode())
+            # own session: the stall kill targets exactly this process group
+            child = subprocess.Popen(run_cmd, stdout=logf, stderr=logf,
+                                     start_new_session=True)
+            stalled = False
+            while True:
+                try:
+                    rc = child.wait(timeout=poll)
+                    break
+                except subprocess.TimeoutExpired:
+                    age = time.time() - os.stat(log_path).st_mtime
+                    if age > stall_seconds:
+                        logf.write(f"[supervisor] stall {age:.0f}s > "
+                                   f"{stall_seconds}s; killing group "
+                                   f"{child.pid}\n".encode())
+                        os.killpg(child.pid, signal.SIGKILL)
+                        rc = child.wait()
+                        stalled = True
+                        break
+            logf.write(f"[supervisor] child exited rc={rc}"
+                       f"{' (stall kill)' if stalled else ''}\n".encode())
+        if rc == 0:
+            return 0
+        restarts += 1
+        if restarts > max_restarts:
+            return rc
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        usage="%(prog)s [options] -- <training command ...>")
+    ap.add_argument("--log", required=True)
+    ap.add_argument("--stall-seconds", type=float, default=900)
+    ap.add_argument("--max-restarts", type=int, default=20)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="training command after --")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
+    if not cmd:
+        ap.error("no training command given (pass it after --)")
+    sys.exit(supervise(cmd, args.log, args.stall_seconds, args.max_restarts))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ import shutil
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
@@ -30,12 +31,15 @@ def _step_of(dirname: str) -> Optional[int]:
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Newest checkpoint dir that actually carries an orbax state payload."""
+    """Newest COMPLETE checkpoint dir: the orbax state payload (renamed into
+    place atomically) AND the trainer_state.json written after it. A run
+    killed between the two leaves a state-only dir — resume must skip it."""
     if not os.path.isdir(output_dir):
         return None
     cands = [(s, d) for d in os.listdir(output_dir)
              if (s := _step_of(d)) is not None
-             and os.path.isdir(os.path.join(output_dir, d, "state"))]
+             and os.path.isdir(os.path.join(output_dir, d, "state"))
+             and os.path.isfile(os.path.join(output_dir, d, "trainer_state.json"))]
     return os.path.join(output_dir, max(cands)[1]) if cands else None
 
 
@@ -46,6 +50,49 @@ def rotate_checkpoints(output_dir: str, limit: Optional[int]):
                    if (s := _step_of(d)) is not None)
     for step in steps[:-limit]:
         shutil.rmtree(ckpt_dir(output_dir, step), ignore_errors=True)
+
+
+def snapshot_device(train_state):
+    """Device-side copy of a (possibly sharded) train-state pytree.
+
+    Both trainers donate the state through their jitted step, so a
+    background save cannot serialize the live buffers — the next step
+    invalidates them. The copy is dispatched on the device stream BEFORE
+    the next step (caller runs on the dispatch thread), costs one HBM
+    round-trip (~ms for the 360M recipe's 2.9GB state), and preserves
+    each leaf's sharding."""
+    return jax.tree_util.tree_map(jnp.copy, train_state)
+
+
+class AsyncSaver:
+    """One-slot background checkpoint writer.
+
+    On tunnel backends the blocking part of an orbax save is a full
+    device->host pull of the state (~126s for the 360M recipe at the
+    tunnel's ~30MB/s) — in-loop, that is 4-8% of step time at the Slam
+    recipe's save cadence. The async pipeline keeps only the device-side
+    snapshot in the loop and runs serialize + host artifacts + rotation on
+    a worker thread, overlapping the pull with device compute.
+
+    One slot: submitting (or any `wait()` call — restore and train-end
+    join through it) first drains the previous save, so at most one save
+    is in flight, writes land in order, and a failed save surfaces at the
+    next checkpoint boundary instead of being lost."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt-save")
+        self._inflight = None
+
+    def wait(self):
+        if self._inflight is not None:
+            fut, self._inflight = self._inflight, None
+            fut.result()
+
+    def submit(self, fn):
+        self.wait()
+        self._inflight = self._pool.submit(fn)
 
 
 def collective_save(path: str, train_state, proc: int, n_procs: int,

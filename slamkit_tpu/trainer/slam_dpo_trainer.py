@@ -80,6 +80,9 @@ class SLAMDPOTrainer:
         # SLAMTrainer._put_train_batch)
         self._n_procs = jax.process_count()
         self._proc = jax.process_index()
+        from . import checkpoint as _ckpt
+        self._async_save = bool(args.get("async_save", True))
+        self._saver = _ckpt.AsyncSaver()
 
         tok_kwargs = dict(
             processing_class=tokenizer.text_tokeniser
@@ -286,25 +289,34 @@ class SLAMDPOTrainer:
     # -- checkpointing: shared machinery (trainer/checkpoint.py) carries the
     # layout and the multihost hardening for BOTH trainers --------------------
     def save_checkpoint(self):
-        import json
         import os
 
         from . import checkpoint
 
         path = os.path.abspath(checkpoint.ckpt_dir(self.args.output_dir,
                                                    self.state.global_step))
-        checkpoint.collective_save(path, self.train_state, self._proc,
-                                   self._n_procs, sync_tag="dpo_ckpt_clean")
-        if self._proc == 0:
-            checkpoint.save_host_artifacts(
-                path,
-                {"global_step": self.state.global_step,
-                 "epoch": self.state.epoch,
-                 "log_history": self.state.log_history[-50:]},
-                self.model, self.train_state)
-            checkpoint.rotate_checkpoints(
-                self.args.output_dir, self.args.get("save_total_limit", None))
-        logger.info("Saved DPO checkpoint %s", path)
+        trainer_json = {"global_step": self.state.global_step,
+                        "epoch": self.state.epoch,
+                        "log_history": self.state.log_history[-50:]}
+        self._saver.wait()  # one slot: drain the previous background save
+        state_ref = (checkpoint.snapshot_device(self.train_state)
+                     if self._async_save else self.train_state)
+        proc, n_procs = self._proc, self._n_procs
+
+        def _write():
+            checkpoint.collective_save(path, state_ref, proc, n_procs,
+                                       sync_tag="dpo_ckpt_clean")
+            if proc == 0:
+                checkpoint.save_host_artifacts(
+                    path, trainer_json, self.model, state_ref)
+                checkpoint.rotate_checkpoints(
+                    self.args.output_dir, self.args.get("save_total_limit", None))
+            logger.info("Saved DPO checkpoint %s", path)
+
+        if self._async_save:
+            self._saver.submit(_write)
+        else:
+            _write()
 
     def _load_checkpoint(self, path):
         import json
@@ -312,6 +324,7 @@ class SLAMDPOTrainer:
 
         from . import checkpoint
 
+        self._saver.wait()  # never restore past an in-flight save
         self.train_state = checkpoint.collective_restore(path, self.train_state)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
@@ -409,6 +422,7 @@ class SLAMDPOTrainer:
             put_pool.shutdown(wait=False, cancel_futures=True)
         self.evaluate()
         self.save_checkpoint()
+        self._saver.wait()  # train() returns only with the final save on disk
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
         return state

@@ -83,6 +83,11 @@ class SLAMTrainer:
         # the 'data'-axis batch sharding and silently drop (P-1)/P of the data)
         self._n_procs = jax.process_count()
         self._proc = jax.process_index()
+        # background checkpoint pipeline (trainer/checkpoint.py): in-loop
+        # save cost becomes a device-side snapshot; async_save=false keeps
+        # the fully synchronous path
+        self._async_save = bool(args.get("async_save", True))
+        self._saver = checkpoint.AsyncSaver()
         self.train_batcher = Batcher(
             train_dataset, self.global_batch, self.context_len,
             pad_id=model.config.pad_token_id, packing=packing,
@@ -252,34 +257,46 @@ class SLAMTrainer:
 
     def save_checkpoint(self):
         path = os.path.abspath(self._ckpt_dir(self.state.global_step))
-        checkpoint.collective_save(path, self.train_state, self._proc,
-                                   self._n_procs)
-        if self._proc == 0:
-            # host-side artifacts are process-0 only; resume replays from the
-            # oldest consumed-but-unstepped microbatch (possibly last epoch)
-            data_pos = (tuple(self._pending_positions[0])
-                        if self._pending_positions else self._data_pos)
-            checkpoint.save_host_artifacts(
-                path,
-                {"global_step": self.state.global_step,
-                 "epoch": self.state.epoch,
-                 "data_pos": list(data_pos),
-                 # resume fast-forwards batch-by-batch through the SAME
-                 # stream; a different packing strategy would silently
-                 # skip/duplicate data (see load_checkpoint)
-                 "packing_strategy": (self.train_batcher.packing_strategy
-                                      if self.train_batcher.packing else None),
-                 "num_input_tokens_seen": self.state.num_input_tokens_seen,
-                 "log_history": self.state.log_history[-50:]},
-                self.model, self.train_state)
-            checkpoint.rotate_checkpoints(
-                self.args.output_dir, self.args.get("save_total_limit", None))
-        logger.info("Saved checkpoint %s", path)
+        # host-side state captured NOW (the loop mutates it after we return);
+        # resume replays from the oldest consumed-but-unstepped microbatch
+        # (possibly last epoch)
+        data_pos = (tuple(self._pending_positions[0])
+                    if self._pending_positions else self._data_pos)
+        trainer_json = {
+            "global_step": self.state.global_step,
+            "epoch": self.state.epoch,
+            "data_pos": list(data_pos),
+            # resume fast-forwards batch-by-batch through the SAME stream; a
+            # different packing strategy would silently skip/duplicate data
+            # (see load_checkpoint)
+            "packing_strategy": (self.train_batcher.packing_strategy
+                                 if self.train_batcher.packing else None),
+            "num_input_tokens_seen": self.state.num_input_tokens_seen,
+            "log_history": self.state.log_history[-50:]}
+        self._saver.wait()  # one slot: drain the previous background save
+        state_ref = (checkpoint.snapshot_device(self.train_state)
+                     if self._async_save else self.train_state)
+        proc, n_procs = self._proc, self._n_procs
+
+        def _write():
+            checkpoint.collective_save(path, state_ref, proc, n_procs)
+            if proc == 0:
+                checkpoint.save_host_artifacts(
+                    path, trainer_json, self.model, state_ref)
+                checkpoint.rotate_checkpoints(
+                    self.args.output_dir, self.args.get("save_total_limit", None))
+            logger.info("Saved checkpoint %s", path)
+
+        if self._async_save:
+            self._saver.submit(_write)
+        else:
+            _write()
 
     def _latest_checkpoint(self) -> Optional[str]:
         return checkpoint.latest_checkpoint(self.args.output_dir)
 
     def load_checkpoint(self, path: str):
+        self._saver.wait()  # never restore past an in-flight save
         self.train_state = checkpoint.collective_restore(path, self.train_state)
         with open(os.path.join(path, "trainer_state.json")) as f:
             st = json.load(f)
@@ -543,6 +560,7 @@ class SLAMTrainer:
             self.evaluate()
         if last_save_step != state.global_step:
             self.save_checkpoint()
+        self._saver.wait()  # train() returns only with the final save on disk
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
         try:  # fsdp multihost shards may not be host-addressable

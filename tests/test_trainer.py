@@ -271,6 +271,33 @@ def test_periodic_saves_after_offgrid_resume(tmp_path):
     assert have == [3, 4, 8, 10], have
 
 
+def test_async_save_matches_sync(tmp_path):
+    """async_save snapshots the state on device BEFORE the next donated step
+    reuses its buffers: a mid-run checkpoint written in the background must be
+    bit-identical to the synchronous save of the same step."""
+    ds = tiny_dataset(128)
+
+    def run(out, async_save):
+        model = tiny_model()
+        args = train_args(tmp_path, gradient_accumulation_steps=2,
+                          save_total_limit=100)
+        args.output_dir = str(out)
+        args.max_steps = 3   # save at 1 and 2 races the following step
+        args.save_steps = 1
+        args.async_save = async_save
+        SLAMTrainer(model, args, ds, packing=True, context_len=32).train()
+
+    run(tmp_path / "a", async_save=True)
+    run(tmp_path / "b", async_save=False)
+    import numpy as onp
+    for step in (1, 2, 3):
+        a = onp.load(tmp_path / "a" / f"checkpoint-{step}" / "params.npz")
+        b = onp.load(tmp_path / "b" / f"checkpoint-{step}" / "params.npz")
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            onp.testing.assert_array_equal(a[k], b[k], err_msg=f"step{step}:{k}")
+
+
 def test_token_id_range_counting(tmp_path):
     model = tiny_model()
     ds = tiny_dataset()
@@ -493,6 +520,25 @@ def test_last_group_flushes_on_epoch_budget(tmp_path):
     tr = SLAMTrainer(model, args, ds, context_len=32)
     state = tr.train()
     assert state.global_step == tr.total_steps == 2
+
+
+def test_latest_checkpoint_skips_incomplete_dirs(tmp_path):
+    """A run killed between the orbax state rename and the trainer_state.json
+    write leaves a state-only dir; resume must fall back to the newest
+    COMPLETE checkpoint instead of crashing on the missing json."""
+    from slamkit_tpu.trainer import checkpoint
+
+    def make(step, state=True, json_file=True):
+        d = tmp_path / f"checkpoint-{step}"
+        (d / "state").mkdir(parents=True) if state else d.mkdir(parents=True)
+        if json_file:
+            (d / "trainer_state.json").write_text("{}")
+
+    make(100)
+    make(200, json_file=False)      # killed mid-save
+    make(300, state=False)          # host artifacts only (no orbax payload)
+    got = checkpoint.latest_checkpoint(str(tmp_path))
+    assert got and got.endswith("checkpoint-100")
 
 
 def test_resume_rejects_changed_packing_strategy(tmp_path):
