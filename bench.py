@@ -10,6 +10,9 @@ Baseline: the reference's Slam run processes 1.4B tokens in 24h on 1×A5000
 (BASELINE.md) ≈ 16,204 tokens/sec. vs_baseline = ours / that.
 """
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -18,9 +21,46 @@ BASELINE_TOKENS_PER_SEC = 1.4e9 / (24 * 3600)  # reference Slam: 24h / 1.4B toke
 V5E_PEAK_BF16_FLOPS = 197e12  # per-chip MXU peak, v5e datasheet
 
 
+def _require_live_device(probe_timeout=240, run_timeout=1500, fatal=True):
+    """The tunnel backend can wedge so hard that even jax.devices() blocks
+    forever. Fail FAST and honestly instead of hanging the caller: a tiny
+    bounded matmul must answer within probe_timeout, and the run is
+    hard-capped at run_timeout. fatal=True exits the process (os._exit: a
+    hung RPC thread would otherwise block interpreter shutdown) — callers
+    embedded in a larger process pass fatal=False to get a RuntimeError."""
+    done = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        done.append(float((jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(probe_timeout)
+    if not done:
+        msg = (f"device backend unreachable (probe matmul silent for "
+               f"{probe_timeout}s) — no measurement")
+        if not fatal:
+            raise RuntimeError(msg)
+        print(f"bench.py: {msg}", file=sys.stderr)
+        os._exit(2)
+    if not fatal:  # embedded caller: probe only, never kill the host process
+        return None
+    killer = threading.Timer(run_timeout, lambda: (
+        print(f"bench.py: backend wedged mid-run (>{run_timeout}s) — "
+              f"aborting without a measurement", file=sys.stderr),
+        os._exit(3)))
+    killer.daemon = True
+    killer.start()
+    return killer
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    watchdog = _require_live_device()
 
     from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
 
@@ -110,6 +150,7 @@ def main():
     n_params = param_count(params)
     mfu = tokens_per_sec * 6 * n_params / V5E_PEAK_BF16_FLOPS
     hw_util = tokens_per_sec * 8 * n_params / V5E_PEAK_BF16_FLOPS
+    watchdog.cancel()
     print(json.dumps({
         "metric": "slam_train_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec, 1),
