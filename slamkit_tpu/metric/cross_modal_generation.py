@@ -1,12 +1,13 @@
 """Cross-modal generation: wav or single-line-text prompts, forced output
-modality (reference slamkit/metric/cross_modal_generation.py:14-79)."""
+modality (same surface as reference slamkit/metric/cross_modal_generation.py:
+14-79 — glob-collected prompt files, SPEECH prompts optionally cropped to
+prompt_length seconds, results returned with their prompts)."""
 from __future__ import annotations
 
+import itertools
 import logging
-from glob import glob, iglob
-from typing import Optional
-
-import numpy as np
+from glob import iglob
+from typing import List, Optional
 
 from ..tokeniser.interleaving_tokeniser import GenerationInput
 from ..utils.audio import load_audio
@@ -14,34 +15,47 @@ from ..utils.audio import load_audio
 logger = logging.getLogger(__name__)
 
 
+def _collect(glob_path: str, limit: Optional[int]) -> List[str]:
+    paths = iglob(glob_path, recursive=True)
+    if limit is not None:
+        paths = itertools.islice(paths, limit)
+    return list(paths)
+
+
+def _speech_prompt(path: str, sample_rate: int, crop_s) -> GenerationInput:
+    wav = load_audio(path, sample_rate)
+    if crop_s is not None:
+        wav = wav[: int(crop_s * sample_rate)]
+    return GenerationInput.from_tuple(("SPEECH", wav))
+
+
+def _text_prompt(path: str, sample_rate: int, crop_s) -> GenerationInput:
+    with open(path) as f:
+        return GenerationInput.from_tuple(("TEXT", f.read().strip()))
+
+
+_LOADERS = {"SPEECH": _speech_prompt, "TEXT": _text_prompt}
+
+
 class CrossModalPromptDataset:
+    """Prompt files matched by a recursive glob; each item is a one-element
+    GenerationInput list (the SpeechLM.generate batch element shape)."""
+
     def __init__(self, glob_path, prompt_length=None, prompt_modality="TEXT",
                  sample_rate=16000, num_files=None):
-        if num_files is None:
-            self.data = glob(glob_path, recursive=True)
-        else:
-            self.data = []
-            for path in iglob(glob_path, recursive=True):
-                if len(self.data) >= num_files:
-                    break
-                self.data.append(path)
+        if prompt_modality not in _LOADERS:
+            raise ValueError(f"Unknown prompt modality {prompt_modality}")
+        self.data = _collect(glob_path, num_files)
         self.prompt_modality = prompt_modality
-        self.prompt_length = prompt_length  # only relevant for audio prompts
+        self.prompt_length = prompt_length  # seconds; audio prompts only
         self.sample_rate = sample_rate
 
     def __len__(self):
         return len(self.data)
 
     def __getitem__(self, idx):
-        if self.prompt_modality == "SPEECH":
-            w = load_audio(self.data[idx], self.sample_rate)
-            if self.prompt_length is not None:
-                w = w[:int(self.prompt_length * self.sample_rate)]
-            return [GenerationInput.from_tuple(("SPEECH", w))]
-        if self.prompt_modality == "TEXT":
-            with open(self.data[idx]) as f:
-                return [GenerationInput.from_tuple(("TEXT", f.read().strip()))]
-        raise ValueError(f"Unknown prompt modality {self.prompt_modality}")
+        loader = _LOADERS[self.prompt_modality]
+        return [loader(self.data[idx], self.sample_rate, self.prompt_length)]
 
 
 def generate(model, data_path: str, batch_size: int,
@@ -50,14 +64,17 @@ def generate(model, data_path: str, batch_size: int,
              prompt_length: Optional[int] = None, sample_rate: int = 16000,
              num_files: Optional[int] = None, num_workers: int = 8,
              pin_memory: bool = True, **generate_kwargs):
-    dataset = CrossModalPromptDataset(data_path, prompt_modality=prompt_modality,
-                                      prompt_length=prompt_length,
-                                      sample_rate=sample_rate, num_files=num_files)
-    assert len(dataset) > 0, f"no samples found for {data_path}"
-    res, prompts = [], []
-    for start in range(0, len(dataset), batch_size):
-        inp = [dataset[i] for i in range(start, min(start + batch_size, len(dataset)))]
-        res.extend(model.generate(inp, output_modality=output_modality,
-                                  **generate_kwargs))
-        prompts.extend(inp)
-    return {"generate": res, "prompts": prompts}
+    """num_workers/pin_memory are accepted for reference-config compatibility
+    and ignored: prompt loading is a trivial host-side read here."""
+    ds = CrossModalPromptDataset(data_path, prompt_modality=prompt_modality,
+                                 prompt_length=prompt_length,
+                                 sample_rate=sample_rate, num_files=num_files)
+    if not len(ds):
+        raise AssertionError(f"no samples found for {data_path}")
+    outputs, prompts = [], []
+    for lo in range(0, len(ds), batch_size):
+        chunk = [ds[i] for i in range(lo, min(lo + batch_size, len(ds)))]
+        prompts.extend(chunk)
+        outputs.extend(model.generate(chunk, output_modality=output_modality,
+                                      **generate_kwargs))
+    return {"generate": outputs, "prompts": prompts}

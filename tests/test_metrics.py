@@ -186,3 +186,27 @@ def test_resolve_torch_device():
     assert _resolve_torch_device("cuda:1") == "cuda:1"
     # auto mode picks cuda only when torch reports one (cpu box here)
     assert _resolve_torch_device(None) in ("cpu", "cuda")
+
+
+def test_cross_modal_generate_text_prompts(tmp_path):
+    """cross_modal_generation.generate: glob collection honors num_files,
+    prompts are one-element GenerationInput lists, batching preserves order,
+    and results return alongside their prompts (reference
+    cross_modal_generation.py:63-79 surface)."""
+    from slamkit_tpu.metric.cross_modal_generation import generate
+
+    for i in range(5):
+        (tmp_path / f"p{i}.txt").write_text(f"prompt {i}\n")
+
+    class StubModel:
+        def generate(self, batch, output_modality=None, **kw):
+            assert output_modality == "SPEECH"
+            return [inp[0].content.upper() for inp in batch]
+
+    res = generate(StubModel(), str(tmp_path / "*.txt"), batch_size=2,
+                   prompt_modality="TEXT", output_modality="SPEECH",
+                   num_files=3)
+    assert len(res["generate"]) == len(res["prompts"]) == 3
+    assert sorted(res["generate"]) == ["PROMPT 0", "PROMPT 1", "PROMPT 2"]
+    for p, g in zip(res["prompts"], res["generate"]):
+        assert p[0].content_type.name == "TEXT" and p[0].content.upper() == g
