@@ -234,3 +234,36 @@ def test_seg_block_skip_noncausal():
     ref = mha_reference(q, k, v, segment_ids=seg, causal=False)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_seg_block_skip_gqa_straddling_blocks():
+    """Sweep-shaped case: GQA (8q/2kv), ctx 1024, rectangular blocks
+    (block_q=256, block_k=512), segment lengths that straddle every block
+    boundary — range-overlap pruning must stay exact for outputs AND all
+    three grads."""
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (2, 8, 1024, 64)) * 0.3
+    k = jax.random.normal(ks[1], (2, 2, 1024, 64)) * 0.3  # un-repeated kv
+    v = jax.random.normal(ks[2], (2, 2, 1024, 64)) * 0.3
+    lens = [135, 247, 190, 260, 120, 72]  # sums to 1024, no aligned edges
+    seg = jnp.asarray(np.repeat(np.arange(len(lens)), lens)[None].repeat(2, 0))
+
+    def run(skip):
+        def loss(q, k, v):
+            return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True,
+                              block_q=256, block_k=512,
+                              seg_block_skip=skip) ** 2)
+
+        out = FA(q, k, v, segment_ids=seg, causal=True,
+                 block_q=256, block_k=512, seg_block_skip=skip)
+        return out, jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    out_s, grads_s = run(True)
+    out_n, grads_n = run(False)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_n))
+    for gs, gn in zip(grads_s, grads_n):
+        np.testing.assert_array_equal(np.asarray(gs), np.asarray(gn))
+    ref = mha_reference(q, jnp.repeat(k, 4, axis=1), jnp.repeat(v, 4, axis=1),
+                        segment_ids=seg, causal=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
