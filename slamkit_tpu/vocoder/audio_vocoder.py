@@ -20,17 +20,21 @@ class AudioVocoder(ABC):
         return self
 
 
-def vocoder_factory(cfg):
-    if cfg.vocoder_type == "hifigan":
-        from .hifi_gan_vocoder import HiFiGANVocoder
+_OPTIONAL_KEYS = ("vocoder_suffix", "speaker_meta", "style_meta", "bucket_frames")
 
-        return HiFiGANVocoder(cfg.dense_model_name,
-                              cfg.quantizer_model_name,
-                              cfg.vocab_size,
-                              cfg.get("vocoder_suffix", None),
-                              cfg.get("speaker_meta", None),
-                              cfg.get("style_meta", None),
-                              bucket_frames=cfg.get("bucket_frames", None))
-    if cfg.vocoder_type is None:
+
+def vocoder_factory(cfg):
+    kind = cfg.vocoder_type
+    if kind is None:
         return None
-    raise ValueError(f"Unknown vocoder type: {cfg.vocoder_type}")
+    if kind != "hifigan":
+        raise ValueError(f"Unknown vocoder type: {kind}")
+    from .hifi_gan_vocoder import HiFiGANVocoder
+
+    opts = {k: cfg.get(k, None) for k in _OPTIONAL_KEYS}
+    return HiFiGANVocoder(
+        dense_model_name=cfg.dense_model_name,
+        quantizer_model_name=cfg.quantizer_model_name,
+        vocab_size=cfg.vocab_size,
+        **opts,
+    )
