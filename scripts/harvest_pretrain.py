@@ -55,12 +55,16 @@ def parse_log(path):
 
 
 def final_checkpoint(out_dir):
-    best = None
-    for d in os.listdir(out_dir):
-        m = re.fullmatch(r"checkpoint-(\d+)", d)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), os.path.join(out_dir, d))
-    return best
+    # trainer-shared discovery: skips incomplete dirs (kill mid-save)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from slamkit_tpu.trainer.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(out_dir)
+    if ck is None:
+        return None
+    return int(re.search(r"checkpoint-(\d+)$", ck).group(1)), ck
 
 
 def main():

@@ -243,10 +243,12 @@ def word_text(rng, n):
 
 
 def latest_checkpoint(out):
-    cks = sorted((d for d in os.listdir(out) if d.startswith("checkpoint-")),
-                 key=lambda d: int(d.split("-")[1]))
-    assert cks, f"no checkpoints under {out}"
-    return os.path.join(out, cks[-1])
+    # the trainer's discovery skips INCOMPLETE dirs (kill mid-save)
+    from slamkit_tpu.trainer.checkpoint import latest_checkpoint as _latest
+
+    ck = _latest(out)
+    assert ck, f"no complete checkpoints under {out}"
+    return ck
 
 
 def run_cross_modal_eval(args, base, out):

@@ -31,7 +31,7 @@ import time
 
 def _output_dir(cmd):
     for a in cmd:
-        if a.startswith("training_args.output_dir="):
+        if a.lstrip("+").startswith("training_args.output_dir="):
             return a.split("=", 1)[1]
     return None
 
@@ -39,24 +39,32 @@ def _output_dir(cmd):
 def _has_checkpoint(out_dir):
     if not out_dir or not os.path.isdir(out_dir):
         return False
-    for d in os.listdir(out_dir):
-        if (d.startswith("checkpoint-")
-                and os.path.isdir(os.path.join(out_dir, d, "state"))
-                and os.path.isfile(os.path.join(out_dir, d,
-                                                "trainer_state.json"))):
-            return True
-    return False
+    # the trainer's own discovery (skips incomplete dirs from a kill
+    # mid-save); imported lazily so the supervisor loop stays light
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from slamkit_tpu.trainer.checkpoint import latest_checkpoint
+
+    return latest_checkpoint(out_dir) is not None
 
 
 def supervise(cmd, log_path, stall_seconds, max_restarts, poll_seconds=None,
-              resume_override="cont_training=true"):
+              resume_override="cont_training=true", out_dir=None):
     """Run `cmd` under stall supervision; returns the final child rc.
 
     poll_seconds defaults to stall_seconds/4 (tests shrink both).
     resume_override is appended on restarts once a checkpoint exists
-    (pass None to relaunch the command unchanged)."""
+    (pass None to relaunch the command unchanged). out_dir: where to look
+    for checkpoints; defaults to the `[+[+]]training_args.output_dir=` CLI
+    token — pass it explicitly when the run's output dir comes from a
+    config file, or restarts can never resume."""
     poll = poll_seconds or max(stall_seconds / 4.0, 1.0)
-    out_dir = _output_dir(cmd)
+    out_dir = out_dir or _output_dir(cmd)
+    if resume_override and out_dir is None:
+        with open(log_path, "ab", buffering=0) as logf:
+            logf.write(b"[supervisor] WARNING: output_dir not found in the "
+                       b"command and --output-dir not given -- restarts run "
+                       b"WITHOUT resume and may retrain from step 0 over "
+                       b"existing checkpoints\n")
     restarts = 0
     while True:
         run_cmd = list(cmd)
@@ -99,13 +107,18 @@ def main():
     ap.add_argument("--log", required=True)
     ap.add_argument("--stall-seconds", type=float, default=900)
     ap.add_argument("--max-restarts", type=int, default=20)
+    ap.add_argument("--output-dir", default=None,
+                    help="checkpoint dir for resume detection, when the "
+                         "run's output_dir is set via config file rather "
+                         "than a training_args.output_dir= CLI token")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="training command after --")
     args = ap.parse_args()
     cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
     if not cmd:
         ap.error("no training command given (pass it after --)")
-    sys.exit(supervise(cmd, args.log, args.stall_seconds, args.max_restarts))
+    sys.exit(supervise(cmd, args.log, args.stall_seconds, args.max_restarts,
+                       out_dir=args.output_dir))
 
 
 if __name__ == "__main__":

@@ -68,10 +68,26 @@ def _quantize_decode_params(params: dict) -> dict:
     layers = dict(params["layers"])
     for key in _QUANT_KEYS:
         w = layers.get(key)
-        if w is not None and w.ndim == 3:             # [L, d, f] stacked
+        # dict leaves are already {"q","s"} (pre-quantized via
+        # prepare_int8_decode_params) — idempotent pass-through
+        if w is not None and getattr(w, "ndim", None) == 3:   # [L, d, f] stacked
             q, s = jax.vmap(quantize_weight)(w)
             layers[key] = {"q": q, "s": s}
     return {**params, "layers": layers}
+
+
+def prepare_int8_decode_params(params: dict, compute_dtype) -> dict:
+    """One-time prep for REPEATED int8 decode calls. `generate` takes params
+    as jit arguments (never closed over — CLAUDE.md tunnel rule), so its
+    in-trace cast + quantize re-read every f32 master weight on every
+    invocation; a per-batch generation loop would pay ~2 extra full weight
+    streams per call. Pre-applying the identical cast + quantize outside the
+    decode jit turns both in-trace passes into no-ops (the quantizer skips
+    dict leaves) with bit-identical results."""
+    cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x, params)
+    return jax.jit(_quantize_decode_params)(cast)
 
 
 @functools.partial(

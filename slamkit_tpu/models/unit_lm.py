@@ -214,6 +214,22 @@ class UnitLM:
             ignore_mask = jnp.asarray(m)
         return self._ll(tokens, ignore_mask, mean_nll)
 
+    def _int8_decode_params(self):
+        """Quantize the decode weights ONCE per params object and reuse the
+        result across generate() calls (a generation-eval loop would
+        otherwise re-stream + re-round every f32 master weight per call —
+        see generate.prepare_int8_decode_params). Keyed on params identity:
+        assigning new params (training, from_pretrained) invalidates it."""
+        cached = getattr(self, "_int8_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        from .generate import prepare_int8_decode_params
+
+        prepared = prepare_int8_decode_params(self.params,
+                                              self.decoder.compute_dtype)
+        self._int8_cache = (self.params, prepared)
+        return prepared
+
     def generate(self, input_ids, attention_mask=None, *, max_new_tokens: int = 150,
                  do_sample: bool = True, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
@@ -256,7 +272,9 @@ class UnitLM:
             top_p = None
         if repetition_penalty is not None and float(repetition_penalty) == 1.0:
             repetition_penalty = None
-        out = _generate(self.params, self.decoder, input_ids,
+        params = (self._int8_decode_params() if weight_quant == "int8"
+                  else self.params)
+        out = _generate(params, self.decoder, input_ids,
                         self._place_batch(attention_mask), rng,
                         max_new_tokens=max_new_tokens, do_sample=do_sample,
                         temperature=temperature, top_k=top_k, top_p=top_p,
@@ -269,12 +287,15 @@ class UnitLM:
         return out[:, rem:] if rem else out
 
     # -- persistence ----------------------------------------------------------
-    def save_pretrained(self, save_directory: str):
+    def save_pretrained(self, save_directory: str, params=None):
+        """params: optional pytree to export instead of self.params — lets a
+        background checkpoint thread write a snapshot without mutating the
+        live model."""
         os.makedirs(save_directory, exist_ok=True)
         with open(os.path.join(save_directory, CONFIG_NAME), "w") as f:
             json.dump(self.config.to_dict(), f, indent=2)
         np.savez(os.path.join(save_directory, WEIGHTS_NAME),
-                 **_flatten(self.params))
+                 **_flatten(self.params if params is None else params))
 
     def push_to_hub(self, repo_id: str, private: bool = True, **kwargs):
         """Upload the HF-format export to the Hub (reference README.md:154

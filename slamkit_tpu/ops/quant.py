@@ -49,16 +49,24 @@ def _dq_kernel(x_ref, w_ref, s_ref, o_ref):
 
 
 def dq_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
-              block_n: int = 512, out_dtype=jnp.bfloat16,
+              block_n: int = 512, block_m: int = 256,
+              out_dtype=jnp.bfloat16,
               interpret: bool = False) -> jax.Array:
     """x [B, K] @ dequant(q [K, N], s [1, N]) -> [B, N].
 
-    One K pass per N block (decode-sized K always fits VMEM); the grid walks
-    N. B is padded to the sublane multiple, N to the lane multiple.
+    One K pass per (M, N) block (decode-sized K always fits VMEM); the grid
+    walks rows then N panels. Decode batches fit one M block (identical to
+    a 1-D N walk); the M grid exists so the PREFILL forward — B*L0 rows
+    through the same quantized params — stays within VMEM instead of
+    loading the whole activation matrix as a single block. B is padded to
+    the sublane multiple (to a block_m multiple when gridded), N to the
+    lane multiple.
     """
     b, kdim = x.shape
     _, n = q.shape
     bp = max(8, ((b + 7) // 8) * 8)
+    block_m = min(block_m, bp)
+    bp = ((bp + block_m - 1) // block_m) * block_m
     if bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, 0)))
     block_n = min(block_n, ((n + _LANES - 1) // _LANES) * _LANES)
@@ -66,16 +74,16 @@ def dq_matmul(x: jax.Array, q: jax.Array, s: jax.Array,
     if npad:
         q = jnp.pad(q, ((0, 0), (0, npad)))
         s = jnp.pad(s, ((0, 0), (0, npad)))
-    grid = (q.shape[1] // block_n,)
+    grid = (bp // block_m, q.shape[1] // block_n)
     out = pl.pallas_call(
         _dq_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bp, kdim), lambda i: (0, 0)),
-            pl.BlockSpec((kdim, block_n), lambda i: (0, i)),
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((block_m, kdim), lambda i, j: (i, 0)),
+            pl.BlockSpec((kdim, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bp, block_n), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((bp, q.shape[1]), out_dtype),
         interpret=interpret,
     )(x, q, s)

@@ -128,13 +128,36 @@ def collective_restore(path: str, train_state):
                          target=template)
 
 
+def async_allowed(requested: bool, n_procs: int) -> bool:
+    """Async saves issue their collectives (the cleanup barrier + the orbax
+    gather) from a worker thread; with >1 process the point where they
+    interleave with the main thread's train-step collectives becomes
+    scheduling-dependent PER PROCESS, and JAX multi-controller requires the
+    identical collective order everywhere — a mismatch deadlocks the fleet.
+    Force the synchronous path on multihost."""
+    if requested and n_procs > 1:
+        logger.warning("async_save disabled on multihost (%d processes): "
+                       "background collectives cannot guarantee identical "
+                       "issue order across processes", n_procs)
+        return False
+    return requested
+
+
 def save_host_artifacts(path: str, trainer_json: dict, model, train_state):
     """Process-0-only: trainer_state.json + best-effort HF-style export
-    (impossible for non-addressable multihost shards — logged, not fatal)."""
-    with open(os.path.join(path, "trainer_state.json"), "w") as f:
+    (impossible for non-addressable multihost shards — logged, not fatal).
+
+    trainer_state.json is the completeness marker `latest_checkpoint` keys
+    on, so it must appear atomically: a kill mid-write must leave either no
+    file (incomplete dir, skipped on resume) or a full one — never a
+    truncated json. Runs on the async saver thread; must NOT touch shared
+    trainer/model state (the snapshot params are passed to the export
+    explicitly instead of mutating the live model)."""
+    tmp = os.path.join(path, ".trainer_state.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(trainer_json, f)
+    os.replace(tmp, os.path.join(path, "trainer_state.json"))
     try:
-        model.params = jax.device_get(train_state["params"])
-        model.save_pretrained(path)
+        model.save_pretrained(path, params=jax.device_get(train_state["params"]))
     except Exception as e:  # noqa: BLE001 — any backend gather error
         logger.warning("skipping model export (non-addressable shards?): %s", e)

@@ -81,7 +81,8 @@ class SLAMDPOTrainer:
         self._n_procs = jax.process_count()
         self._proc = jax.process_index()
         from . import checkpoint as _ckpt
-        self._async_save = bool(args.get("async_save", True))
+        self._async_save = _ckpt.async_allowed(
+            bool(args.get("async_save", True)), self._n_procs)
         self._saver = _ckpt.AsyncSaver()
 
         tok_kwargs = dict(
@@ -425,4 +426,9 @@ class SLAMDPOTrainer:
         self._saver.wait()  # train() returns only with the final save on disk
         for cb in self.callbacks:
             cb.on_train_end(args, state, control)
+        try:  # fsdp multihost shards may not be host-addressable
+            self.model.params = jax.device_get(self.train_state["params"])
+        except Exception as e:
+            logger.warning("leaving model params on device "
+                           "(non-addressable shards?): %s", e)
         return state

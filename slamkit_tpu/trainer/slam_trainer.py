@@ -86,7 +86,8 @@ class SLAMTrainer:
         # background checkpoint pipeline (trainer/checkpoint.py): in-loop
         # save cost becomes a device-side snapshot; async_save=false keeps
         # the fully synchronous path
-        self._async_save = bool(args.get("async_save", True))
+        self._async_save = checkpoint.async_allowed(
+            bool(args.get("async_save", True)), self._n_procs)
         self._saver = checkpoint.AsyncSaver()
         self.train_batcher = Batcher(
             train_dataset, self.global_batch, self.context_len,

@@ -60,12 +60,17 @@ def attention_to_word_times(
     for word, count in zip(words, phoneme_counts):
         lo_frames = np.flatnonzero(track == token_pos)
         hi_frames = np.flatnonzero(track == token_pos + count - 1)
-        if lo_frames.size == 0 or hi_frames.size == 0:
+        if lo_frames.size == 0 and hi_frames.size == 0:
             raise ValueError(
                 f"no frame attends to phonemes of word {word!r} "
                 f"(tokens {token_pos}..{token_pos + count - 1})")
-        start = int(lo_frames[0]) * _HOP_SAMPLES / sample_rate
-        end = int(hi_frames[-1]) * _HOP_SAMPLES / sample_rate
+        # a zero-duration first/last phoneme (no attending frames) degrades
+        # to the other end's frames — the reference's combined equality
+        # match does the same rather than aborting the utterance
+        start_frame = lo_frames[0] if lo_frames.size else hi_frames[0]
+        end_frame = hi_frames[-1] if hi_frames.size else lo_frames[-1]
+        start = int(start_frame) * _HOP_SAMPLES / sample_rate
+        end = int(end_frame) * _HOP_SAMPLES / sample_rate
         spans.append((" " + word, round(start, 3), round(end, 3)))
         token_pos += count
     return spans

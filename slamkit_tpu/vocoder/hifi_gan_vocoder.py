@@ -96,12 +96,19 @@ class HiFiGANVocoder(AudioVocoder):
             raise TypeError(f"vocode_batch got unexpected kwargs: {sorted(kwargs)}")
         if f0 is not None:
             # any per-sample sequence works (list, tuple, 2-D ndarray of
-            # contours, ...) — only a bare scalar / 1-D contour is ambiguous
+            # contours, ...) — but each ELEMENT must itself be a contour:
+            # a single 1-D contour whose length happens to equal the batch
+            # size would otherwise be silently split into per-sample scalars
             if np.isscalar(f0) or not hasattr(f0, "__len__") or len(f0) != n:
                 raise ValueError(
                     "vocode_batch f0 must be a per-sample sequence (len "
                     f"{n}); pass voc.vocode(tokens, f0=contour) for one "
                     "sample")
+            if any(c is not None and np.ndim(c) == 0 for c in f0):
+                raise ValueError(
+                    "vocode_batch f0 elements must be per-sample contours "
+                    "(arrays), not scalars — got what looks like ONE contour "
+                    f"of length {n}")
         codes, keep = [], []
         for i, t in enumerate(token_lists):
             code = np.asarray(t).ravel()

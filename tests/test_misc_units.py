@@ -147,6 +147,14 @@ def test_tts_alignment_pure_function():
     with pytest.raises(ValueError, match="no frame attends"):
         attention_to_word_times(np.array([0, 9]), [1], ["x"], 16000)
 
+    # a zero-duration LAST phoneme (no frame attends to token 2) degrades to
+    # the first phoneme's span instead of aborting — the reference's combined
+    # equality match returns idx over whichever end has frames
+    track = np.array([0, 1, 1, 3])
+    spans = attention_to_word_times(track, [2, 1], ["ab", "c"], 16000)
+    assert spans[0] == (" ab", round(1 * 256 / 16000, 3),
+                        round(2 * 256 / 16000, 3))
+
 
 def test_tts_generate_wav_with_faked_fairseq(monkeypatch):
     """generate_wav alignment path end-to-end with a faked fairseq output and

@@ -117,3 +117,38 @@ def test_int8_generate_gated_arch(tmp_path):
     # int8 error is small; greedy decode from random weights may still
     # diverge, so assert validity of ids rather than token equality
     assert ((out[:, 8:] >= 0) & (out[:, 8:] < 502)).all()
+
+
+def test_dq_matmul_row_grid_matches_single_block():
+    """Prefill-sized row counts (B*L0 >> block_m) walk an M grid; the result
+    must match the one-block path bit-for-bit (same K pass per block)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((600, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.02, jnp.float32)
+    q, s = quantize_weight(w)
+    gridded = dq_matmul(x, q, s, block_m=256, interpret=True)
+    single = dq_matmul(x, q, s, block_m=1024, interpret=True)
+    assert gridded.shape == (600, 256)
+    np.testing.assert_array_equal(np.asarray(gridded, np.float32),
+                                  np.asarray(single, np.float32))
+
+
+def test_prepare_int8_idempotent_and_cached():
+    """_quantize_decode_params must pass pre-quantized dict leaves through
+    untouched, and UnitLM caches the prepared pytree per params object."""
+    from slamkit_tpu.models.generate import (_QUANT_KEYS,
+                                             _quantize_decode_params,
+                                             prepare_int8_decode_params)
+
+    model = _tiny_lm()
+    prepared = prepare_int8_decode_params(model.params, jnp.bfloat16)
+    again = _quantize_decode_params(prepared)
+    for k in _QUANT_KEYS:
+        v = prepared["layers"].get(k)
+        if isinstance(v, dict):
+            assert again["layers"][k]["q"] is v["q"]  # untouched, not re-quantized
+
+    first = model._int8_decode_params()
+    assert model._int8_decode_params() is first  # cache hit
+    model.params = jax.tree_util.tree_map(lambda x: x, model.params)
+    assert model._int8_decode_params() is not first  # new params invalidate

@@ -554,3 +554,43 @@ def test_resume_rejects_changed_packing_strategy(tmp_path):
                       packing_strategy="greedy")
     with pytest.raises(ValueError, match="packing_strategy"):
         tr2.train(resume_from_checkpoint=True)
+
+
+def test_async_allowed_forces_sync_on_multihost():
+    """Background saves issue collectives from a worker thread; with >1
+    process the cross-process issue order becomes nondeterministic, so
+    async must silently degrade to the synchronous path."""
+    from slamkit_tpu.trainer import checkpoint
+    assert checkpoint.async_allowed(True, 1) is True
+    assert checkpoint.async_allowed(True, 4) is False
+    assert checkpoint.async_allowed(False, 1) is False
+
+
+def test_save_host_artifacts_atomic_and_nonmutating(tmp_path):
+    """trainer_state.json must appear via rename (no .tmp leftovers) and the
+    export must NOT reassign the live model's params — it runs on the async
+    saver thread concurrently with training."""
+    import json as _json
+    import os
+
+    import jax.numpy as jnp
+
+    from slamkit_tpu.trainer import checkpoint
+
+    class M:
+        def __init__(self):
+            self.params = {"w": np.ones(2)}
+            self.exported = None
+
+        def save_pretrained(self, path, params=None):
+            self.exported = params
+
+    m = M()
+    orig = m.params
+    state = {"params": {"w": jnp.zeros(2)}}
+    checkpoint.save_host_artifacts(str(tmp_path), {"global_step": 3}, m, state)
+    assert m.params is orig
+    with open(tmp_path / "trainer_state.json") as f:
+        assert _json.load(f) == {"global_step": 3}
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    np.testing.assert_array_equal(np.asarray(m.exported["w"]), 0.0)

@@ -264,6 +264,10 @@ def test_vocode_single_sample_f0_contour(jax_params):
     # batch path demands per-sample f0 lists — a bare array is rejected
     with pytest.raises(ValueError, match="per-sample"):
         voc.vocode_batch([code, code], f0=f0_a)
+    # ...including a single 1-D contour whose length equals the batch size
+    # (would silently become per-sample SCALARS)
+    with pytest.raises(ValueError, match="contours"):
+        voc.vocode_batch([code, code], f0=np.array([100.0, 120.0]))
     outs = voc.vocode_batch([code, code], f0=[f0_a, f0_b])
     np.testing.assert_array_equal(outs[0], wav_a)
     np.testing.assert_array_equal(outs[1], wav_b)
