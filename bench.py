@@ -88,7 +88,7 @@ def _require_live_device(probe_timeout=240, run_timeout=1500, fatal=True):
     return killer
 
 
-def main():
+def main(model_name: str = "slam"):
     import jax
     import jax.numpy as jnp
 
@@ -97,9 +97,19 @@ def main():
     from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
 
     batch_size, context_len, accum = 8, 1024, 16
-    cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
-                       twist_init=False, rope_theta=10000.0,
-                       torch_dtype="bfloat16", remat=True)
+    if model_name == "slam":  # the headline recipe, spelled out
+        cfg = UnitLMConfig(base_model_name="Qwen/Qwen2.5-0.5B", vocab_size=502,
+                           twist_init=False, rope_theta=10000.0,
+                           torch_dtype="bfloat16", remat=True)
+    else:  # A/B a config/model/<name>.yaml variant (e.g. slam_dh128)
+        from slamkit_tpu.config import compose, to_container
+
+        mc = compose("config", "train",
+                     [f"model={model_name}", "data.train_path=/dev/null"])
+        cfg = UnitLMConfig.from_dict({
+            **to_container(mc.model.config_args),
+            "vocab_size": 502, "twist_init": False,
+            "torch_dtype": "bfloat16", "remat": True})
     model = UnitLM(cfg, seed=0)
 
     rng = np.random.default_rng(0)
@@ -184,7 +194,8 @@ def main():
     hw_util = tokens_per_sec * 8 * n_params / V5E_PEAK_BF16_FLOPS
     watchdog.cancel()
     print(json.dumps({
-        "metric": "slam_train_tokens_per_sec_per_chip",
+        "metric": ("slam_train_tokens_per_sec_per_chip" if model_name == "slam"
+                   else f"{model_name}_train_tokens_per_sec_per_chip"),
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
@@ -195,4 +206,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="slam",
+                    help="config/model/<name>.yaml arch variant to bench "
+                         "(e.g. slam_dh128); default is the headline recipe")
+    main(ap.parse_args().model)

@@ -10,10 +10,13 @@ opt, qwen2, llama, gpt_neox.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Optional
 
 from .transformer import DecoderConfig
+
+logger = logging.getLogger(__name__)
 
 # Architecture facts for the models named in the reference's configs/docs.
 PRESETS: dict[str, dict] = {
@@ -84,6 +87,40 @@ PRESETS: dict[str, dict] = {
         tie_word_embeddings=False, norm_eps=1e-5,
     ),
 }
+
+
+# HF config.json attribute names -> DecoderConfig field names, for
+# reference-parity `model.config_args` overrides (the reference forwards
+# extra config_args straight into AutoConfig.from_pretrained —
+# slamkit/model/unit_lm.py:62-68 — so users override depth/width/heads
+# with HF names)
+_HF_CONFIG_ALIASES = {
+    "num_hidden_layers": "num_layers",
+    "num_attention_heads": "num_heads",
+    "num_key_value_heads": "num_kv_heads",
+    "ffn_dim": "intermediate_size",
+    "rms_norm_eps": "norm_eps",
+    "layer_norm_eps": "norm_eps",
+    "use_parallel_residual": "parallel_residual",
+}
+
+
+def translate_decoder_overrides(d: dict) -> dict:
+    """Map user config overrides (HF attribute names or DecoderConfig field
+    names) onto DecoderConfig kwargs; unknown keys warn and drop — the
+    reference's AutoConfig also accepts-and-ignores attributes a family
+    doesn't define."""
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(DecoderConfig)}
+    out = {}
+    for k, v in (d or {}).items():
+        k2 = _HF_CONFIG_ALIASES.get(k, k)
+        if k2 in fields:
+            out[k2] = v
+        else:
+            logger.warning("Ignoring unknown decoder config override %r", k)
+    return out
 
 
 def config_from_hf_dict(hf: dict) -> dict:

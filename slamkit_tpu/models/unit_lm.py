@@ -60,13 +60,19 @@ class UnitLMConfig:
     remat: bool = False
     remat_policy: str = "full"    # full | qkv (save q/k/v + attn out)
     remat_layers: int = -1        # checkpoint only the first N layers
+    # decoder-architecture / kernel-knob overrides applied on top of the
+    # resolved base config (HF attribute names or DecoderConfig field names;
+    # reference parity: extra config_args flow into AutoConfig.from_pretrained,
+    # slamkit/model/unit_lm.py:62-68). Unknown config_args keys land here.
+    config_overrides: dict = dataclasses.field(default_factory=dict)
 
     def decoder_config(self) -> DecoderConfig:
         attn_impl = {"flash_attention_2": "flash", None: "auto"}.get(
             self.attn_implementation, self.attn_implementation or "auto")
         dtype = "bfloat16" if self.torch_dtype in ("bfloat16", None) else "float32"
-        return resolve_base_config(
-            self.base_model_name,
+        from .presets import translate_decoder_overrides
+
+        explicit = dict(
             vocab_size=self.vocab_size,
             rope_theta=self.rope_theta,
             dtype=dtype,
@@ -78,6 +84,9 @@ class UnitLMConfig:
             attention_dropout=self.attention_dropout or None,
             layerdrop=self.layerdrop or None,
         )
+        merged = {**translate_decoder_overrides(self.config_overrides),
+                  **{k: v for k, v in explicit.items() if v is not None}}
+        return resolve_base_config(self.base_model_name, **merged)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -85,10 +94,17 @@ class UnitLMConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "UnitLMConfig":
         known = {f.name for f in dataclasses.fields(cls)}
+        base = {k: v for k, v in d.items() if k in known}
         extra = {k: v for k, v in d.items() if k not in known}
         if extra:
-            logger.info("Ignoring unknown UnitLMConfig keys: %s", sorted(extra))
-        return cls(**{k: v for k, v in d.items() if k in known})
+            # reference parity: unknown config_args are decoder config
+            # overrides (AutoConfig kwargs there); explicit config_overrides
+            # entries win over strays
+            logger.info("Routing config_args keys to decoder overrides: %s",
+                        sorted(extra))
+            base["config_overrides"] = {**extra,
+                                        **(base.get("config_overrides") or {})}
+        return cls(**base)
 
 
 @partial(jax.jit, static_argnames=("decoder", "pad_token_id", "mean_nll"))

@@ -105,7 +105,7 @@ def test_unaligned_seq_len_padding():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("hq,hkv", [(4, 2), (6, 2), (4, 1)])
+@pytest.mark.parametrize("hq,hkv", [(4, 2), (6, 2), (4, 1), (7, 1)])
 def test_gqa_unrepeated_kv_matches_repeated(hq, hkv):
     """GQA-native path: un-repeated [B, Hkv, T, D] k/v must equal the
     reference run on kv-major repeat_interleave'd heads (fwd + grads)."""
@@ -267,3 +267,34 @@ def test_seg_block_skip_gqa_straddling_blocks():
                         segment_ids=seg, causal=True)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mqa_d128_slam_variant_shape():
+    """The slam_dh128 recipe head layout (7 q heads, 1 kv head, d_head=128
+    — config/model/slam_dh128.yaml): full-lane panels, group 7 folded into
+    the M panel. fwd + grads vs the XLA reference."""
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 3)
+    b, t, d, hq = 1, 256, 128, 7
+    q = jax.random.normal(ks[0], (b, hq, t, d)) * 0.2
+    k = jax.random.normal(ks[1], (b, 1, t, d)) * 0.2
+    v = jax.random.normal(ks[2], (b, 1, t, d)) * 0.2
+    seg = jnp.asarray(np.repeat(np.arange(2), t // 2)[None].repeat(b, 0),
+                      jnp.int32)
+    out = FA(q, k, v, segment_ids=seg, causal=True)
+    ref = mha_reference(q, jnp.repeat(k, hq, 1), jnp.repeat(v, hq, 1),
+                        segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(FA(q, k, v, segment_ids=seg, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, jnp.repeat(k, hq, 1), jnp.repeat(v, hq, 1),
+                          segment_ids=seg, causal=True)
+        return jnp.sum(o ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(a, b_, atol=5e-5, rtol=5e-5)

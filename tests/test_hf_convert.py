@@ -259,3 +259,44 @@ def test_opt_350m_style_export_roundtrip(tmp_path):
         a = model(_torch.tensor(ids)).logits.float().numpy()
         b = back(_torch.tensor(ids)).logits.float().numpy()
     np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3)
+
+
+def test_llama_decoupled_head_dim_parity():
+    """head_dim independent of hidden_size//num_heads (HF llama supports it
+    since 4.45) — the TPU-optimal d_head=128 variants rely on this path."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=24, max_position_embeddings=128,
+        tie_word_embeddings=False, attn_implementation="eager")
+    model = LlamaForCausalLM(hf_cfg)
+    cfg, _ = _compare(model, {**hf_cfg.to_dict(), "model_type": "llama"})
+    assert cfg.head_dim == 24 and cfg.num_heads == 2 and cfg.num_kv_heads == 1
+
+
+def test_config_args_route_to_decoder_overrides():
+    """Reference parity (slamkit/model/unit_lm.py:62-68): extra config_args
+    are decoder-config overrides, not silently dropped. HF attribute names
+    alias onto DecoderConfig fields; kernel knobs pass straight through."""
+    from slamkit_tpu.models.unit_lm import UnitLMConfig
+
+    cfg = UnitLMConfig.from_dict({
+        "base_model_name": "Qwen/Qwen2.5-0.5B", "vocab_size": 502,
+        "twist_init": False,
+        "num_hidden_layers": 2, "head_dim": 128, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "flash_block_k": 256})
+    dec = cfg.decoder_config()
+    assert dec.num_layers == 2 and dec.head_dim == 128
+    assert dec.num_heads == 4 and dec.num_kv_heads == 2
+    assert dec.flash_block_k == 256
+    # survives save_pretrained round-trip (to_dict -> from_dict)
+    again = UnitLMConfig.from_dict(cfg.to_dict())
+    assert again.decoder_config() == dec
+    # explicit UnitLMConfig fields still win over stray duplicates
+    cfg2 = UnitLMConfig.from_dict({
+        "base_model_name": "Qwen/Qwen2.5-0.5B", "vocab_size": 502,
+        "twist_init": False, "rope_theta": 5000.0,
+        "config_overrides": {"rope_theta": 777.0}})
+    assert cfg2.decoder_config().rope_theta == 5000.0
