@@ -89,6 +89,15 @@ def _require_live_device(probe_timeout=240, run_timeout=1500, fatal=True):
 
 
 def main(model_name: str = "slam"):
+    # resolve the variant BEFORE touching the device: a typo'd --model must
+    # not burn the (possibly minutes-long) backend probe first, and the
+    # config tree lives next to this file, not in the caller's cwd
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if model_name != "slam" and not os.path.isfile(
+            os.path.join(repo, "config", "model", f"{model_name}.yaml")):
+        print(f"bench.py: no config/model/{model_name}.yaml", file=sys.stderr)
+        raise SystemExit(2)
+
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +113,7 @@ def main(model_name: str = "slam"):
     else:  # A/B a config/model/<name>.yaml variant (e.g. slam_dh128)
         from slamkit_tpu.config import compose, to_container
 
-        mc = compose("config", "train",
+        mc = compose(os.path.join(repo, "config"), "train",
                      [f"model={model_name}", "data.train_path=/dev/null"])
         cfg = UnitLMConfig.from_dict({
             **to_container(mc.model.config_args),

@@ -32,12 +32,16 @@ for line in open(sys.argv[1]):
         t = datetime.strptime(ts, "%a %b %d %H:%M:%S %Z %Y")
     except ValueError:
         continue
-    if "launching resume leg" in line:
+    # FIRST launch -> FINAL rc=0 exit: stall-kill/relaunch cycles inside
+    # the leg (and the downtime between them) are part of its wall-clock
+    if "launching resume leg" in line and launch is None:
         launch = t
     if "wrapper exited rc=0" in line:
         exit_ = t
 if not (launch and exit_):
     sys.exit("supervisor.log has no completed leg (launch/exit pair)")
+if exit_ <= launch:
+    sys.exit(f"supervisor.log timestamps inverted: {launch} -> {exit_}")
 print(int((exit_ - launch).total_seconds()))
 EOF
 )

@@ -55,13 +55,17 @@ def parse_log(path):
 
 
 def final_checkpoint(out_dir):
-    # trainer-shared discovery: skips incomplete dirs (kill mid-save)
-    import sys
+    # trainer-shared discovery (skips incomplete dirs from a kill mid-save),
+    # loaded standalone so the harvest stays jax-free
+    import importlib.util
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from slamkit_tpu.trainer.checkpoint import latest_checkpoint
-
-    ck = latest_checkpoint(out_dir)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "slamkit_tpu", "trainer", "checkpoint.py")
+    spec = importlib.util.spec_from_file_location("_slamkit_ckpt", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ck = mod.latest_checkpoint(out_dir)
     if ck is None:
         return None
     return int(re.search(r"checkpoint-(\d+)$", ck).group(1)), ck

@@ -36,15 +36,32 @@ def _output_dir(cmd):
     return None
 
 
+_CKPT_MOD = None
+
+
+def _ckpt_module():
+    """Load trainer/checkpoint.py STANDALONE (no package import): the
+    watchdog must not pull the trainer package (jax, transformers, ...)
+    just to check a directory; checkpoint.py keeps its heavy imports
+    function-local for exactly this."""
+    global _CKPT_MOD
+    if _CKPT_MOD is None:
+        import importlib.util
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "slamkit_tpu", "trainer", "checkpoint.py")
+        spec = importlib.util.spec_from_file_location("_slamkit_ckpt", path)
+        _CKPT_MOD = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_CKPT_MOD)
+    return _CKPT_MOD
+
+
 def _has_checkpoint(out_dir):
     if not out_dir or not os.path.isdir(out_dir):
         return False
-    # the trainer's own discovery (skips incomplete dirs from a kill
-    # mid-save); imported lazily so the supervisor loop stays light
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from slamkit_tpu.trainer.checkpoint import latest_checkpoint
-
-    return latest_checkpoint(out_dir) is not None
+    # the trainer's own discovery (skips incomplete dirs from a kill mid-save)
+    return _ckpt_module().latest_checkpoint(out_dir) is not None
 
 
 def supervise(cmd, log_path, stall_seconds, max_restarts, poll_seconds=None,

@@ -323,7 +323,26 @@ def load_twist_params(config, decoder_cfg: DecoderConfig, seed: int = 0) -> dict
     """Full TWIST init: pretrained base weights -> convert -> vocab resize.
     Falls back to random init with a warning when weights are unreachable
     (zero-egress environments)."""
-    base_cfg = decoder_cfg  # target arch already reflects overrides
+    # a re-headed variant (config_overrides touching the attention layout,
+    # e.g. slam_dh128's 14x64/GQA-2 -> 7x128/MQA) can load the pretrained
+    # projections shape-clean, but head boundaries and rope pairing no
+    # longer match the trained function — a silently scrambled warm start.
+    # Random init is the only honest start for such a variant.
+    from .presets import resolve_base_config
+
+    source = resolve_base_config(config.base_model_name,
+                                 vocab_size=decoder_cfg.vocab_size)
+    layout = ("num_heads", "num_kv_heads", "head_dim", "hidden_size",
+              "num_layers", "intermediate_size")
+    diffs = [k for k in layout
+             if getattr(source, k) != getattr(decoder_cfg, k)]
+    if diffs:
+        logger.warning(
+            "TWIST init requested but the decoder overrides change the "
+            "architecture of %s (%s differ) — pretrained weights would be "
+            "reinterpreted across head boundaries; using random init",
+            config.base_model_name, ", ".join(diffs))
+        return init_params(decoder_cfg, jax.random.PRNGKey(seed))
     try:
         sd = load_hf_state_dict(config.base_model_name)
     except Exception as e:

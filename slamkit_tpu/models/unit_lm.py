@@ -239,6 +239,10 @@ class UnitLM:
         cached = getattr(self, "_int8_cache", None)
         if cached is not None and cached[0] is self.params:
             return cached[1]
+        # drop the stale entry BEFORE building the new one: holding the old
+        # f32 masters + their cast/quantized copies while quantizing the new
+        # params would transiently triple weight residency on a 16G chip
+        self._int8_cache = None
         from .generate import prepare_int8_decode_params
 
         prepared = prepare_int8_decode_params(self.params,
@@ -306,12 +310,15 @@ class UnitLM:
     def save_pretrained(self, save_directory: str, params=None):
         """params: optional pytree to export instead of self.params — lets a
         background checkpoint thread write a snapshot without mutating the
-        live model."""
+        live model. The weights file lands via temp-file + rename so a kill
+        mid-export never leaves a truncated params.npz under its real name."""
         os.makedirs(save_directory, exist_ok=True)
         with open(os.path.join(save_directory, CONFIG_NAME), "w") as f:
             json.dump(self.config.to_dict(), f, indent=2)
-        np.savez(os.path.join(save_directory, WEIGHTS_NAME),
-                 **_flatten(self.params if params is None else params))
+        tmp = os.path.join(save_directory, "." + WEIGHTS_NAME + ".tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **_flatten(self.params if params is None else params))
+        os.replace(tmp, os.path.join(save_directory, WEIGHTS_NAME))
 
     def push_to_hub(self, repo_id: str, private: bool = True, **kwargs):
         """Upload the HF-format export to the Hub (reference README.md:154

@@ -12,8 +12,10 @@ import os
 import shutil
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
+# jax is imported INSIDE the functions that need it: latest_checkpoint /
+# rotate_checkpoints are pure path logic consumed by light watchdog
+# processes (scripts/supervise_train.py loads this file standalone), which
+# must not pay a jax import to check a directory.
 
 logger = logging.getLogger(__name__)
 
@@ -61,6 +63,9 @@ def snapshot_device(train_state):
     the next step (caller runs on the dispatch thread), costs one HBM
     round-trip (~ms for the 360M recipe's 2.9GB state), and preserves
     each leaf's sharding."""
+    import jax
+    import jax.numpy as jnp
+
     return jax.tree_util.tree_map(jnp.copy, train_state)
 
 
@@ -118,6 +123,7 @@ def collective_save(path: str, train_state, proc: int, n_procs: int,
 def collective_restore(path: str, train_state):
     """Restore onto the mesh via an abstract shape/dtype/sharding template —
     works for replicated AND fsdp-sharded multihost state."""
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -148,16 +154,20 @@ def save_host_artifacts(path: str, trainer_json: dict, model, train_state):
     (impossible for non-addressable multihost shards — logged, not fatal).
 
     trainer_state.json is the completeness marker `latest_checkpoint` keys
-    on, so it must appear atomically: a kill mid-write must leave either no
-    file (incomplete dir, skipped on resume) or a full one — never a
-    truncated json. Runs on the async saver thread; must NOT touch shared
-    trainer/model state (the snapshot params are passed to the export
-    explicitly instead of mutating the live model)."""
-    tmp = os.path.join(path, ".trainer_state.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(trainer_json, f)
-    os.replace(tmp, os.path.join(path, "trainer_state.json"))
+    on, so it must be the LAST artifact and appear atomically: a kill at
+    any instant leaves either a dir without the marker (skipped on resume)
+    or a fully-written checkpoint — never a truncated json, and never a
+    marker pointing at a half-written weights export. Runs on the async
+    saver thread; must NOT touch shared trainer/model state (the snapshot
+    params are passed to the export explicitly instead of mutating the
+    live model)."""
+    import jax
+
     try:
         model.save_pretrained(path, params=jax.device_get(train_state["params"]))
     except Exception as e:  # noqa: BLE001 — any backend gather error
         logger.warning("skipping model export (non-addressable shards?): %s", e)
+    tmp = os.path.join(path, ".trainer_state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(trainer_json, f)
+    os.replace(tmp, os.path.join(path, "trainer_state.json"))

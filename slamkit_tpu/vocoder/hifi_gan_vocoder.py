@@ -95,20 +95,21 @@ class HiFiGANVocoder(AudioVocoder):
         if kwargs:
             raise TypeError(f"vocode_batch got unexpected kwargs: {sorted(kwargs)}")
         if f0 is not None:
-            # any per-sample sequence works (list, tuple, 2-D ndarray of
-            # contours, ...) — but each ELEMENT must itself be a contour:
-            # a single 1-D contour whose length happens to equal the batch
-            # size would otherwise be silently split into per-sample scalars
+            # any per-sample sequence works: a list/tuple of contours OR of
+            # per-sample scalar pitches (broadcast to constant contours,
+            # same as vocode()), or a 2-D ndarray of contours. A bare 1-D
+            # ndarray is rejected even when its length matches the batch —
+            # that is ONE contour, and splitting it into per-sample scalars
+            # would silently produce wrong audio.
             if np.isscalar(f0) or not hasattr(f0, "__len__") or len(f0) != n:
                 raise ValueError(
                     "vocode_batch f0 must be a per-sample sequence (len "
                     f"{n}); pass voc.vocode(tokens, f0=contour) for one "
                     "sample")
-            if any(c is not None and np.ndim(c) == 0 for c in f0):
+            if isinstance(f0, np.ndarray) and f0.ndim == 1:
                 raise ValueError(
-                    "vocode_batch f0 elements must be per-sample contours "
-                    "(arrays), not scalars — got what looks like ONE contour "
-                    f"of length {n}")
+                    "vocode_batch f0 got a single 1-D contour; pass a list "
+                    f"of {n} per-sample contours (or scalar pitches)")
         codes, keep = [], []
         for i, t in enumerate(token_lists):
             code = np.asarray(t).ravel()

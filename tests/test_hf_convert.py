@@ -300,3 +300,27 @@ def test_config_args_route_to_decoder_overrides():
         "twist_init": False, "rope_theta": 5000.0,
         "config_overrides": {"rope_theta": 777.0}})
     assert cfg2.decoder_config().rope_theta == 5000.0
+
+
+def test_twist_init_refuses_reheaded_arch(caplog):
+    """TWIST warm start + config overrides that change the head layout would
+    load pretrained projections shape-clean but scrambled across head
+    boundaries — load_twist_params must fall back to random init loudly."""
+    import logging
+
+    from slamkit_tpu.models.hf_convert import load_twist_params
+    from slamkit_tpu.models.transformer import init_params, param_count
+    from slamkit_tpu.models.unit_lm import UnitLMConfig
+
+    cfg = UnitLMConfig.from_dict({
+        "base_model_name": "EleutherAI/pythia-14m", "vocab_size": 502,
+        "twist_init": True, "num_attention_heads": 2, "head_dim": 64})
+    dec = cfg.decoder_config()
+    assert (dec.num_heads, dec.head_dim) == (2, 64)
+    with caplog.at_level(logging.WARNING):
+        params = load_twist_params(cfg, dec, seed=0)
+    assert any("reinterpreted" in r.message for r in caplog.records)
+    import jax
+
+    want = init_params(dec, jax.random.PRNGKey(0))
+    assert param_count(params) == param_count(want)

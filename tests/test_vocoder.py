@@ -268,6 +268,11 @@ def test_vocode_single_sample_f0_contour(jax_params):
     # (would silently become per-sample SCALARS)
     with pytest.raises(ValueError, match="contours"):
         voc.vocode_batch([code, code], f0=np.array([100.0, 120.0]))
+    # but a LIST of per-sample scalar pitches is deliberate and broadcasts
+    # to constant contours, exactly like vocode(f0=scalar)
+    outs_sc = voc.vocode_batch([code, code], f0=[100.0, 120.0])
+    np.testing.assert_array_equal(outs_sc[0], voc.vocode(code, f0=100.0))
+    np.testing.assert_array_equal(outs_sc[1], voc.vocode(code, f0=120.0))
     outs = voc.vocode_batch([code, code], f0=[f0_a, f0_b])
     np.testing.assert_array_equal(outs[0], wav_a)
     np.testing.assert_array_equal(outs[1], wav_b)
