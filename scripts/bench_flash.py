@@ -138,13 +138,17 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--hkv", type=int, default=None,
                     help="kv heads (GQA); default = all heads")
+    ap.add_argument("--heads", type=int, default=14,
+                    help="q heads (14 = Slam baseline; 7 for slam_dh128)")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="head_dim (64 = Slam baseline; 128 for slam_dh128)")
     args = ap.parse_args()
 
     if args.matmul_probe:
         matmul_probe()
         return
 
-    B, H, T, D = 8, 14, 1024, 64
+    B, H, T, D = 8, args.heads, 1024, args.dim
     hkv = args.hkv
     if args.skip_sweep:
         for segs in (2, 8):
