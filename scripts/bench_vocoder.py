@@ -3,9 +3,10 @@
 The reference vocodes with torch CodeHiFiGAN on GPU (slamkit/vocoder/
 hifigan/vocoder.py); here the JAX port (vocoder/hifigan_jax.py) runs the
 generator as fixed-shape jitted convs. Weights are RANDOM at the real
-textless mhubert-base-25hz CodeHiFiGAN architecture — throughput does not
-depend on weight values, and real checkpoints are egress-blocked in this
-environment (first contact: vocoder/checkpoint_manager.py).
+textless CodeHiFiGAN architecture (50 Hz unit stream, 320x upsample to
+16 kHz) — throughput does not depend on weight values, and real
+checkpoints are egress-blocked in this environment (first contact:
+vocoder/checkpoint_manager.py).
 
 Reports seconds of 16 kHz audio generated per wall second (xRT) for
 batched synthesis through `synthesize_batch` with frame bucketing (a
