@@ -37,6 +37,16 @@ def eval_main(cfg):
     if cfg.model.config_args.vocab_size == -1:
         cfg.model.config_args.vocab_size = len(tokeniser.text_tokeniser)
     tlm = tlm_factory(cfg.model)
+    # TPU extension: eval_mesh=N shards every metric batch over an N-device
+    # data mesh (optionally + fsdp params via eval_fsdp=true) — the sharded
+    # eval path the multichip dryrun validates (__graft_entry__.py). The
+    # reference evals single-device (slamkit/model/speech_lm.py:22).
+    n_mesh = int(cfg.get("eval_mesh", 0) or 0)
+    if n_mesh > 1:
+        from slamkit_tpu.parallel.mesh import make_mesh
+
+        tlm.shard(make_mesh([n_mesh]), fsdp=bool(cfg.get("eval_fsdp", False)))
+        logger.info("eval sharded over a %d-device data mesh", n_mesh)
     vocoder = vocoder_factory(cfg.vocoder)
     model = SpeechLM(tlm, tokeniser, vocoder=vocoder, device=cfg.device)
 

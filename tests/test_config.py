@@ -210,3 +210,13 @@ def test_list_interpolation_resolves():
     assert cfg.paths[0] == "/data/train"
     assert list(cfg.paths) == ["/data/train", "/data/val"]
     assert cfg.to_container()["paths"] == ["/data/train", "/data/val"]
+
+
+def test_repeated_group_override_last_wins(config_dir):
+    """Hydra semantics relied on by the rehearsal harnesses: a later
+    model=<variant> group override replaces an earlier one."""
+    cfg = compose(config_dir, "train", ["model=slam",
+                                       "data.train_path=unused",
+                                       "model=slam_dh128"])
+    assert int(cfg.model.config_args.head_dim) == 128
+    assert int(cfg.model.config_args.num_attention_heads) == 7
