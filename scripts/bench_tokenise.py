@@ -6,6 +6,8 @@ Run on the TPU: python scripts/bench_tokenise.py
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if "--help" in sys.argv or "-h" in sys.argv:
+    print(__doc__); sys.exit(0)
 import numpy as np, jax, jax.numpy as jnp
 from slamkit_tpu.feature_extractor.hubert_jax import HubertConfig, forward
 from slamkit_tpu.feature_extractor.kmeans import assign_clusters

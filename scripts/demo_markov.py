@@ -48,6 +48,9 @@ def build_corpus(d, K=500, n_train=4000):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/markov_demo"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     nxt, pairs = build_corpus(d)

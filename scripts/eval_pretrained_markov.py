@@ -45,6 +45,9 @@ def sample_seq(succ, rng, n):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     ckpt = sys.argv[1]
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 

@@ -46,6 +46,9 @@ def timeit(fn, *args, iters=30):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     import jax
     import jax.numpy as jnp
 

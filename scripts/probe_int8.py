@@ -45,6 +45,9 @@ def _timeit(fn, *args, iters=20):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     import jax
     import jax.numpy as jnp
 

@@ -254,6 +254,9 @@ def probe_decode_floor(model):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     smoke = "--smoke" in sys.argv
     model, batch, shape = build(smoke=smoke)
     results = [probe_loss_epilogue(model, batch, shape),
