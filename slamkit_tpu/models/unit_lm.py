@@ -182,6 +182,12 @@ class UnitLM:
             return jnp.asarray(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_data = self._mesh.shape["data"]
+        if np.shape(arr)[0] % n_data:
+            raise ValueError(
+                f"eval batch of {np.shape(arr)[0]} rows cannot shard over "
+                f"the {n_data}-device 'data' axis — pick a batch_size that "
+                f"is a multiple of the mesh size")
         spec = P("data", *([None] * (np.ndim(arr) - 1)))
         return jax.device_put(jnp.asarray(arr),
                               NamedSharding(self._mesh, spec))

@@ -107,6 +107,23 @@ def test_sblimp_end_to_end(tmp_path):
     res = sblimp(model, str(tmp_path), None, batch_size=2, subfolder=False)
     assert 0.0 <= res["sBLIMP"] <= 1.0
 
+    # sharded eval (cli/eval.py eval_mesh): identical scores over the
+    # 8-device data mesh — batch rows shard, likelihoods are per-row.
+    # batch_size must be a multiple of the mesh size (clear error below).
+    import pytest as _pytest
+
+    from slamkit_tpu.parallel.mesh import make_mesh
+
+    for i in range(4, 8):  # 8 pairs total -> one full 8-row batch per side
+        write_tone(tmp_path / f"{2*i}+p.wav", 3200 * (i + 1))
+        write_tone(tmp_path / f"{2*i+1}+n.wav", 3200 * (i + 2))
+    res8 = sblimp(model, str(tmp_path), None, batch_size=8, subfolder=False)
+    lm.shard(make_mesh())
+    res_mesh = sblimp(model, str(tmp_path), None, batch_size=8, subfolder=False)
+    assert res_mesh["sBLIMP"] == res8["sBLIMP"]
+    with _pytest.raises(ValueError, match="multiple of the mesh"):
+        sblimp(model, str(tmp_path), None, batch_size=6, subfolder=False)
+
 
 # --------------------------------------------------------------------------- #
 # prompt dataset
