@@ -94,7 +94,9 @@ def eval_main(cfg):
                                  cfg.metric.auto_bleu_n, tokeniser.fe_sample_rate,
                                  cfg.metric.get("num_files", None),
                                  cfg.num_workers, cfg.pin_memory,
-                                 cfg.metric.get("torch_device", None), **gen_kwargs)
+                                 cfg.metric.get("torch_device", None),
+                                 asr_backend=cfg.metric.get("asr_backend", "torch"),
+                                 **gen_kwargs)
         elif mt == "llm_as_judge":
             res = llm_as_judge(model, path, cfg.batch_size, cfg.metric.whisper_model,
                                cfg.metric.llm_name_or_path, cfg.metric.instruction,
@@ -104,7 +106,9 @@ def eval_main(cfg):
                                cfg.metric.get("use_alignment", False),
                                tokeniser.fe_sample_rate, cfg.metric.get("num_files", None),
                                cfg.num_workers, cfg.pin_memory,
-                               cfg.metric.get("torch_device", None), **gen_kwargs)
+                               cfg.metric.get("torch_device", None),
+                               asr_backend=cfg.metric.get("asr_backend", "torch"),
+                               **gen_kwargs)
         else:
             raise ValueError(f"Unknown metric type: {mt}")
     else:

@@ -155,9 +155,12 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                    alignment_folder=None, use_alignment=False,
                    auto_bleu_n: int = 2, sample_rate=16000, num_files=None,
                    num_workers: int = 8, pin_memory: bool = True,
-                   torch_device: Optional[str] = None, **generate_kwargs):
+                   torch_device: Optional[str] = None,
+                   asr_backend: str = "torch", **generate_kwargs):
     """GenPPL: generate -> Whisper transcribe -> text-LM perplexity +
-    auto-BLEU (reference generative_metric.py:108-135)."""
+    auto-BLEU (reference generative_metric.py:108-135).
+    asr_backend='jax' transcribes with the TPU-native Whisper
+    (metric/whisper_jax.py) instead of the torch pipeline."""
     from nltk.tokenize import NLTKWordTokenizer
 
     nltk_word_tokenizer = NLTKWordTokenizer()
@@ -168,7 +171,8 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                             use_alignment=use_alignment)
     assert len(dataset) > 0, f"no samples found for {data_path}"
     device = _resolve_torch_device(torch_device)
-    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device)
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
+                                            backend=asr_backend)
     llm, text_lm_tokeniser = get_llm(llm_name_or_path, device=device)
     nlls, gen, prompts, bleus = [], [], [], []
     for audio, lens in dataset.batches(batch_size):
@@ -192,7 +196,8 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
                  min_file_length=None, alignment_folder=None,
                  use_alignment=False, sample_rate=16000, num_files=None,
                  num_workers: int = 8, pin_memory: bool = True,
-                 torch_device: Optional[str] = None, **generate_kwargs):
+                 torch_device: Optional[str] = None,
+                 asr_backend: str = "torch", **generate_kwargs):
     """Generate -> transcribe prompt & continuation -> judge with \\boxed{n}
     scores (reference generative_metric.py:137-173)."""
     dataset = PromptDataset(data_path, num_files=num_files,
@@ -205,7 +210,8 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
     assert "[prompt_audio_transcription]" in instruction
     assert "[generated_audio_transcription]" in instruction
     device = _resolve_torch_device(torch_device)
-    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device)
+    whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
+                                            backend=asr_backend)
     judge = get_judge(llm_name_or_path, device=device, batch_size=batch_size)
     gen, prompts, texts, prompt_texts, gen_texts = [], [], [], [], []
     for audio, lens in dataset.batches(batch_size):

@@ -17,7 +17,14 @@ logger = logging.getLogger(__name__)
 OPENAI_MODELS = ["gpt-3.5-turbo", "gpt-4", "gpt-4o"]
 
 
-def get_whisper_pipeline(model_id, device="cpu"):
+def get_whisper_pipeline(model_id, device="cpu", backend="torch"):
+    """backend='jax' runs the TPU-native Whisper (whisper_jax.py) on the
+    default JAX device — the whole GenPPL loop stays on-chip; `device`
+    then only matters for the torch path."""
+    if backend == "jax":
+        from .whisper_jax import JaxWhisperPipeline
+
+        return JaxWhisperPipeline(model_id)
     import torch
     from transformers import AutoModelForSpeechSeq2Seq, AutoProcessor, pipeline
 

@@ -1,0 +1,448 @@
+"""TPU-native Whisper ASR for the generative metrics (GenPPL / LLM-judge).
+
+The reference transcribes with a torch `automatic-speech-recognition`
+pipeline on GPU (reference slamkit/metric/metric_utils.py:20-28 /
+generative_metric.py:129-142); this module runs the Whisper
+encoder-decoder as jitted JAX on the TPU chip instead, so the whole
+GenPPL loop (generate -> vocode -> transcribe) stays on-device. Opt in
+with `metric.asr_backend=jax`; the torch pipeline remains the default.
+
+Division of labor:
+  * log-mel features come from the HF `WhisperFeatureExtractor` (pure
+    numpy, milliseconds per batch) — bit-identical preprocessing with
+    zero porting risk;
+  * the encoder (2 convs + pre-LN transformer) and the greedy decoder
+    (self-attn kv cache + precomputed cross-attn kv, suppress masks,
+    eos stop) run as two jitted programs with static shapes: mel frames
+    are fixed by the 30 s window, decode length by max_target_positions.
+
+Weights convert from any HF `WhisperForConditionalGeneration` checkpoint
+(`convert_whisper_state_dict`); per-layer tensors are stacked [L, ...]
+and the blocks run under `lax.scan`, like models/transformer.py.
+Logit parity vs the torch model is gated by tests/test_whisper_jax.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperCfg:
+    """Static slice of the HF WhisperConfig (the jit key)."""
+
+    vocab_size: int
+    num_mel_bins: int
+    d_model: int
+    encoder_layers: int
+    encoder_heads: int
+    decoder_layers: int
+    decoder_heads: int
+    encoder_ffn: int
+    decoder_ffn: int
+    max_source_positions: int
+    max_target_positions: int
+    decoder_start_token_id: int
+    eos_token_id: int
+    dtype: str = "float32"
+
+    @classmethod
+    def from_hf(cls, hf, dtype: str = "float32") -> "WhisperCfg":
+        return cls(
+            vocab_size=hf.vocab_size, num_mel_bins=hf.num_mel_bins,
+            d_model=hf.d_model, encoder_layers=hf.encoder_layers,
+            encoder_heads=hf.encoder_attention_heads,
+            decoder_layers=hf.decoder_layers,
+            decoder_heads=hf.decoder_attention_heads,
+            encoder_ffn=hf.encoder_ffn_dim, decoder_ffn=hf.decoder_ffn_dim,
+            max_source_positions=hf.max_source_positions,
+            max_target_positions=hf.max_target_positions,
+            decoder_start_token_id=hf.decoder_start_token_id,
+            eos_token_id=hf.eos_token_id, dtype=dtype)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+# --------------------------------------------------------------------------- #
+# weight conversion: HF state dict (numpy) -> stacked pytree
+# --------------------------------------------------------------------------- #
+def _stack(sd, fmt: str, n: int, transpose: bool = False) -> Optional[np.ndarray]:
+    keys = [fmt.format(i) for i in range(n)]
+    if keys[0] not in sd:
+        return None
+    mats = [np.asarray(sd[k], np.float32) for k in keys]
+    if transpose:
+        mats = [m.T for m in mats]
+    return np.stack(mats)
+
+
+def convert_whisper_state_dict(sd: dict, cfg: WhisperCfg) -> dict:
+    """HF WhisperForConditionalGeneration (numpy-valued, torch layout) ->
+    stacked JAX pytree. Linear weights transpose to [in, out]; k_proj has
+    no bias in the architecture."""
+    def side(prefix: str, n_layers: int, cross: bool) -> dict:
+        def st(name, transpose=False):
+            return _stack(sd, f"{prefix}.layers.{{}}.{name}", n_layers, transpose)
+
+        p = {
+            "q_w": st("self_attn.q_proj.weight", True),
+            "q_b": st("self_attn.q_proj.bias"),
+            "k_w": st("self_attn.k_proj.weight", True),
+            "v_w": st("self_attn.v_proj.weight", True),
+            "v_b": st("self_attn.v_proj.bias"),
+            "o_w": st("self_attn.out_proj.weight", True),
+            "o_b": st("self_attn.out_proj.bias"),
+            "ln1_scale": st("self_attn_layer_norm.weight"),
+            "ln1_bias": st("self_attn_layer_norm.bias"),
+            "fc1_w": st("fc1.weight", True),
+            "fc1_b": st("fc1.bias"),
+            "fc2_w": st("fc2.weight", True),
+            "fc2_b": st("fc2.bias"),
+            "ln_f_scale": st("final_layer_norm.weight"),
+            "ln_f_bias": st("final_layer_norm.bias"),
+        }
+        if cross:
+            p.update({
+                "xq_w": st("encoder_attn.q_proj.weight", True),
+                "xq_b": st("encoder_attn.q_proj.bias"),
+                "xk_w": st("encoder_attn.k_proj.weight", True),
+                "xv_w": st("encoder_attn.v_proj.weight", True),
+                "xv_b": st("encoder_attn.v_proj.bias"),
+                "xo_w": st("encoder_attn.out_proj.weight", True),
+                "xo_b": st("encoder_attn.out_proj.bias"),
+                "xln_scale": st("encoder_attn_layer_norm.weight"),
+                "xln_bias": st("encoder_attn_layer_norm.bias"),
+            })
+        return p
+
+    g = lambda k: np.asarray(sd[k], np.float32)  # noqa: E731
+    params = {
+        "enc": {
+            "conv1_w": g("model.encoder.conv1.weight"),   # [d, mel, 3]
+            "conv1_b": g("model.encoder.conv1.bias"),
+            "conv2_w": g("model.encoder.conv2.weight"),
+            "conv2_b": g("model.encoder.conv2.bias"),
+            "pos": g("model.encoder.embed_positions.weight"),
+            "layers": side("model.encoder", cfg.encoder_layers, cross=False),
+            "ln_scale": g("model.encoder.layer_norm.weight"),
+            "ln_bias": g("model.encoder.layer_norm.bias"),
+        },
+        "dec": {
+            "embed": g("model.decoder.embed_tokens.weight"),
+            "pos": g("model.decoder.embed_positions.weight"),
+            "layers": side("model.decoder", cfg.decoder_layers, cross=True),
+            "ln_scale": g("model.decoder.layer_norm.weight"),
+            "ln_bias": g("model.decoder.layer_norm.bias"),
+        },
+    }
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# blocks
+# --------------------------------------------------------------------------- #
+def _ln(x, scale, bias, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
+
+
+def _heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _attn(q, k, v, mask=None):
+    """q already scaled (HF WhisperAttention scales q by head_dim**-0.5)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _proj(x, w, b=None):
+    y = x @ w.astype(x.dtype)
+    return y + b.astype(x.dtype) if b is not None else y
+
+
+# --------------------------------------------------------------------------- #
+# encoder
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode(params: dict, cfg: WhisperCfg, mel: jax.Array) -> jax.Array:
+    """mel [B, n_mels, 2*max_source_positions] -> [B, S, d] hidden states."""
+    dt = cfg.compute_dtype
+    enc = params["enc"]
+    x = mel.astype(dt)
+    # conv1 stride 1 pad 1, gelu; conv2 stride 2 pad 1, gelu (HF encoder)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"].astype(dt), (1,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + enc["conv1_b"].astype(dt)[None, :, None], approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"].astype(dt), (2,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + enc["conv2_b"].astype(dt)[None, :, None], approximate=False)
+    x = x.transpose(0, 2, 1)                       # [B, S, d]
+    x = x + enc["pos"].astype(dt)[None, : x.shape[1]]
+
+    scale = cfg.head_dim ** -0.5
+
+    def body(h, lp):
+        res = h
+        y = _ln(h, lp["ln1_scale"], lp["ln1_bias"])
+        q = _heads(_proj(y, lp["q_w"], lp["q_b"]) * scale, cfg.encoder_heads)
+        k = _heads(_proj(y, lp["k_w"]), cfg.encoder_heads)
+        v = _heads(_proj(y, lp["v_w"], lp["v_b"]), cfg.encoder_heads)
+        h = res + _proj(_merge(_attn(q, k, v)), lp["o_w"], lp["o_b"])
+        res = h
+        y = _ln(h, lp["ln_f_scale"], lp["ln_f_bias"])
+        y = jax.nn.gelu(_proj(y, lp["fc1_w"], lp["fc1_b"]), approximate=False)
+        h = res + _proj(y, lp["fc2_w"], lp["fc2_b"])
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params["enc"]["layers"])
+    return _ln(x, enc["ln_scale"], enc["ln_bias"])
+
+
+# --------------------------------------------------------------------------- #
+# decoder (one step, kv cache) + greedy loop
+# --------------------------------------------------------------------------- #
+def _decoder_step(params, cfg: WhisperCfg, tok, pos_idx, cache, xk, xv):
+    """tok [B] int32, pos_idx scalar int32 -> (logits [B, V], cache')."""
+    dec = params["dec"]
+    dt = cfg.compute_dtype
+    x = dec["embed"].astype(dt)[tok][:, None, :]          # [B, 1, d]
+    x = x + jax.lax.dynamic_slice_in_dim(
+        dec["pos"].astype(dt), pos_idx, 1, axis=0)[None]
+    scale = cfg.head_dim ** -0.5
+    t_max = cache["k"].shape[3]
+    valid = jnp.arange(t_max)[None, None, None, :] <= pos_idx   # [1,1,1,T]
+
+    def body(carry, inp):
+        h, li = carry
+        lp, layer_xk, layer_xv = inp
+        res = h
+        y = _ln(h, lp["ln1_scale"], lp["ln1_bias"])
+        q = _heads(_proj(y, lp["q_w"], lp["q_b"]) * scale, cfg.decoder_heads)
+        k_new = _heads(_proj(y, lp["k_w"]), cfg.decoder_heads)
+        v_new = _heads(_proj(y, lp["v_w"], lp["v_b"]), cfg.decoder_heads)
+        k_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"][li], k_new.astype(cache["k"].dtype), pos_idx, axis=2)
+        v_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"][li], v_new.astype(cache["v"].dtype), pos_idx, axis=2)
+        h = res + _proj(_merge(_attn(q, k_all.astype(dt), v_all.astype(dt),
+                                     mask=valid)), lp["o_w"], lp["o_b"])
+        res = h
+        y = _ln(h, lp["xln_scale"], lp["xln_bias"])
+        xq = _heads(_proj(y, lp["xq_w"], lp["xq_b"]) * scale, cfg.decoder_heads)
+        h = res + _proj(_merge(_attn(xq, layer_xk.astype(dt),
+                                     layer_xv.astype(dt))),
+                        lp["xo_w"], lp["xo_b"])
+        res = h
+        y = _ln(h, lp["ln_f_scale"], lp["ln_f_bias"])
+        y = jax.nn.gelu(_proj(y, lp["fc1_w"], lp["fc1_b"]), approximate=False)
+        h = res + _proj(y, lp["fc2_w"], lp["fc2_b"])
+        return (h, li + 1), (k_all, v_all)
+
+    (x, _), (k_stack, v_stack) = jax.lax.scan(
+        body, (x, 0), (params["dec"]["layers"], xk, xv))
+    x = _ln(x, dec["ln_scale"], dec["ln_bias"])
+    logits = (x[:, 0, :].astype(jnp.float32)
+              @ dec["embed"].astype(jnp.float32).T)      # tied proj_out
+    return logits, {"k": k_stack, "v": v_stack}
+
+
+def _cross_kv(params, cfg: WhisperCfg, enc_out):
+    """Precompute cross-attention k/v once per utterance: [L, B, H, S, dh]."""
+    def one(lp_xk_w, lp_xv_w, lp_xv_b):
+        k = _heads(_proj(enc_out, lp_xk_w), cfg.decoder_heads)
+        v = _heads(_proj(enc_out, lp_xv_w, lp_xv_b), cfg.decoder_heads)
+        return k, v
+
+    return jax.vmap(one)(
+        params["dec"]["layers"]["xk_w"].astype(enc_out.dtype),
+        params["dec"]["layers"]["xv_w"].astype(enc_out.dtype),
+        params["dec"]["layers"]["xv_b"].astype(enc_out.dtype))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new_tokens", "n_forced"))
+def greedy_decode(params: dict, cfg: WhisperCfg, enc_out: jax.Array,
+                  forced_ids: jax.Array, *, max_new_tokens: int,
+                  n_forced: int,
+                  suppress_mask: Optional[jax.Array] = None,
+                  begin_suppress_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Greedy transcription. forced_ids [n_forced] starts with
+    decoder_start_token_id (HF forced_decoder_ids flattened); rows emit
+    pad-with-eos after their eos. Returns [B, n_forced + max_new_tokens]."""
+    b = enc_out.shape[0]
+    dt = cfg.compute_dtype
+    xk, xv = _cross_kv(params, cfg, enc_out.astype(dt))
+    t_max = n_forced + max_new_tokens
+    hd = cfg.d_model // cfg.decoder_heads
+    cache = {
+        "k": jnp.zeros((cfg.decoder_layers, b, cfg.decoder_heads, t_max, hd), dt),
+        "v": jnp.zeros((cfg.decoder_layers, b, cfg.decoder_heads, t_max, hd), dt),
+    }
+    tokens = jnp.zeros((b, t_max), jnp.int32)
+    tokens = tokens.at[:, :n_forced].set(forced_ids[None, :])
+
+    def step(carry, i):
+        tokens, cache, done = carry
+        tok = tokens[:, i]
+        logits, cache = _decoder_step(params, cfg, tok, i, cache, xk, xv)
+        if suppress_mask is not None:
+            logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+        if begin_suppress_mask is not None:
+            logits = jnp.where((i == n_forced - 1) & begin_suppress_mask[None, :],
+                               NEG_INF, logits)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # inside the forced prefix the next token is already fixed
+        in_prefix = i + 1 < n_forced
+        nxt = jnp.where(in_prefix, tokens[:, jnp.minimum(i + 1, t_max - 1)], nxt)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], i + 1, axis=1)
+        return (tokens, cache, done), None
+
+    done0 = jnp.zeros((b,), bool)
+    (tokens, _, _), _ = jax.lax.scan(
+        step, (tokens, cache, done0), jnp.arange(t_max - 1))
+    return tokens
+
+
+# --------------------------------------------------------------------------- #
+# pipeline
+# --------------------------------------------------------------------------- #
+class JaxWhisperPipeline:
+    """Drop-in for the torch ASR pipeline in metric_utils: callable on a
+    list of float waveforms, returns [{"text": ...}]. Preprocessing and
+    text decoding reuse the HF processor; encoder + greedy decoder run
+    jitted on the default JAX device."""
+
+    def __init__(self, model_id: str, dtype: str = "float32"):
+        from transformers import AutoProcessor, WhisperConfig
+
+        self.processor = AutoProcessor.from_pretrained(model_id)
+        hf_cfg = WhisperConfig.from_pretrained(model_id)
+        self.cfg = WhisperCfg.from_hf(hf_cfg, dtype=dtype)
+        sd = _load_whisper_weights(model_id)
+        self.params = jax.device_put(convert_whisper_state_dict(sd, self.cfg))
+        gen_cfg = _load_generation_config(model_id)
+        self.forced_ids, self.suppress, self.begin_suppress = \
+            _decode_plan(hf_cfg, gen_cfg, self.cfg)
+        self.sample_rate = int(getattr(
+            self.processor.feature_extractor, "sampling_rate", 16000))
+        logger.info("JaxWhisperPipeline: %s on %s (%s)", model_id,
+                    jax.devices()[0].platform, dtype)
+
+    def __call__(self, wavs: List[np.ndarray], batch_size: int = 8,
+                 **_ignored) -> List[dict]:
+        out: List[dict] = []
+        eos = self.cfg.eos_token_id
+        n_forced = len(self.forced_ids)
+        max_new = self.cfg.max_target_positions - n_forced
+        for i in range(0, len(wavs), batch_size):
+            chunk = [np.asarray(w, np.float32).reshape(-1)
+                     for w in wavs[i:i + batch_size]]
+            # fixed batch shape: pad the tail chunk with silence rows
+            pad_rows = batch_size - len(chunk)
+            feats = self.processor.feature_extractor(
+                chunk + [np.zeros(self.sample_rate, np.float32)] * pad_rows,
+                sampling_rate=self.sample_rate,
+                return_tensors="np").input_features
+            enc = encode(self.params, self.cfg, jnp.asarray(feats))
+            toks = greedy_decode(
+                self.params, self.cfg, enc,
+                jnp.asarray(self.forced_ids, jnp.int32),
+                max_new_tokens=max_new, n_forced=n_forced,
+                suppress_mask=self.suppress,
+                begin_suppress_mask=self.begin_suppress)
+            toks = np.asarray(toks)[:len(chunk)]
+            for row in toks:
+                row = row[n_forced:]
+                stop = np.flatnonzero(row == eos)
+                row = row[:stop[0]] if stop.size else row
+                out.append({"text": self.processor.tokenizer.decode(
+                    row, skip_special_tokens=True)})
+        return out
+
+
+def _load_whisper_weights(model_id: str) -> dict:
+    """Numpy state dict from the checkpoint dir (safetensors or torch bin),
+    without instantiating the torch model."""
+    import os
+
+    st_path = os.path.join(model_id, "model.safetensors")
+    if os.path.isfile(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    # fallback: torch load (hub cache / .bin checkpoints)
+    import torch
+    from transformers import WhisperForConditionalGeneration
+
+    m = WhisperForConditionalGeneration.from_pretrained(
+        model_id, torch_dtype=torch.float32)
+    return {k: v.numpy() for k, v in m.state_dict().items()}
+
+
+def _load_generation_config(model_id: str):
+    try:
+        from transformers import GenerationConfig
+
+        return GenerationConfig.from_pretrained(model_id)
+    except Exception:  # noqa: BLE001 — checkpoints without generation_config
+        return None
+
+
+def _decode_plan(hf_cfg, gen_cfg, cfg: WhisperCfg
+                 ) -> Tuple[List[int], Optional[jax.Array], Optional[jax.Array]]:
+    """Forced prefix + suppress masks, HF generation semantics: the prefix
+    is decoder_start followed by forced_decoder_ids (language/task/
+    no-timestamps for real checkpoints)."""
+    forced = [cfg.decoder_start_token_id]
+    pairs = getattr(gen_cfg, "forced_decoder_ids", None) or \
+        getattr(hf_cfg, "forced_decoder_ids", None) or []
+    for _, tok in sorted(pairs):
+        forced.append(int(tok))
+
+    def mask_of(ids):
+        if not ids:
+            return None
+        m = np.zeros((cfg.vocab_size,), bool)
+        m[np.asarray(list(ids), int)] = True
+        return jnp.asarray(m)
+
+    suppress = getattr(gen_cfg, "suppress_tokens", None) or \
+        getattr(hf_cfg, "suppress_tokens", None) or []
+    begin = getattr(gen_cfg, "begin_suppress_tokens", None) or \
+        getattr(hf_cfg, "begin_suppress_tokens", None) or []
+    return forced, mask_of(suppress), mask_of(begin)
