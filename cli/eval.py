@@ -96,6 +96,7 @@ def eval_main(cfg):
                                  cfg.num_workers, cfg.pin_memory,
                                  cfg.metric.get("torch_device", None),
                                  asr_backend=cfg.metric.get("asr_backend", "torch"),
+                                 llm_backend=cfg.metric.get("llm_backend", "torch"),
                                  **gen_kwargs)
         elif mt == "llm_as_judge":
             res = llm_as_judge(model, path, cfg.batch_size, cfg.metric.whisper_model,

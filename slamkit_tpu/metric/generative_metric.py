@@ -156,11 +156,13 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                    auto_bleu_n: int = 2, sample_rate=16000, num_files=None,
                    num_workers: int = 8, pin_memory: bool = True,
                    torch_device: Optional[str] = None,
-                   asr_backend: str = "torch", **generate_kwargs):
+                   asr_backend: str = "torch",
+                   llm_backend: str = "torch", **generate_kwargs):
     """GenPPL: generate -> Whisper transcribe -> text-LM perplexity +
     auto-BLEU (reference generative_metric.py:108-135).
     asr_backend='jax' transcribes with the TPU-native Whisper
-    (metric/whisper_jax.py) instead of the torch pipeline."""
+    (metric/whisper_jax.py); llm_backend='jax' scores perplexity through
+    the TPU decoder stack — both on-chip, no torch in the loop."""
     from nltk.tokenize import NLTKWordTokenizer
 
     nltk_word_tokenizer = NLTKWordTokenizer()
@@ -173,7 +175,8 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
     device = _resolve_torch_device(torch_device)
     whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
                                             backend=asr_backend)
-    llm, text_lm_tokeniser = get_llm(llm_name_or_path, device=device)
+    llm, text_lm_tokeniser = get_llm(llm_name_or_path, device=device,
+                                     backend=llm_backend)
     nlls, gen, prompts, bleus = [], [], [], []
     for audio, lens in dataset.batches(batch_size):
         gen_res = model.generate(audio, lens, used_tokens_modality,

@@ -40,12 +40,31 @@ def get_whisper_pipeline(model_id, device="cpu", backend="torch"):
                     torch_dtype=torch_dtype, device=device)
 
 
-def get_llm(model_id, device="cpu"):
-    from transformers import AutoModelForCausalLM, AutoTokenizer
+def get_llm(model_id, device="cpu", backend="torch"):
+    """backend='jax' loads the text LM through the TPU decoder stack
+    (models/transformer.py via the hf_convert family converters — llama/
+    qwen2/opt/gpt_neox cover the reference's Llama-3.2-1B default), so the
+    GenPPL perplexity stage runs on-chip next to the ASR. `device` then
+    only matters for the torch path."""
+    from transformers import AutoTokenizer
 
     tokeniser = AutoTokenizer.from_pretrained(model_id)
     if tokeniser.pad_token_id is None:
         tokeniser.pad_token = tokeniser.eos_token
+    if backend == "jax":
+        from transformers import AutoConfig
+
+        from ..models.unit_lm import UnitLM, UnitLMConfig
+
+        hf_vocab = AutoConfig.from_pretrained(model_id).vocab_size
+        cfg = UnitLMConfig(base_model_name=model_id, vocab_size=hf_vocab,
+                           twist_init=True,  # = load the real weights
+                           pad_token_id=tokeniser.pad_token_id,
+                           torch_dtype="float32")
+        return UnitLM(cfg), tokeniser
+    import torch  # noqa: F401 — device placement below
+    from transformers import AutoModelForCausalLM
+
     model = AutoModelForCausalLM.from_pretrained(model_id, use_cache=False)
     model.to(device)
     return model, tokeniser
@@ -54,6 +73,15 @@ def get_llm(model_id, device="cpu"):
 def get_llm_perplexity(model, tokeniser, text: List[str], device="cpu"):
     """Per-sequence mean NLL of each text under the text LM
     (reference metric_utils.py:51-60)."""
+    if hasattr(model, "log_likelihood"):  # JAX backend (UnitLM)
+        import numpy as np
+
+        enc = tokeniser(text, padding=True, return_tensors="np")
+        ids = enc["input_ids"].astype(np.int32)
+        # log_likelihood masks == pad_token_id, exactly the torch branch's
+        # labels[labels == pad_id] = -100 rule; mean_nll matches its
+        # per-token normalization (both clamp empty rows to 1)
+        return -np.asarray(model.log_likelihood(ids, mean_nll=True))
     import torch
 
     model_inputs = tokeniser(text, return_tensors="pt", padding=True).to(device)
