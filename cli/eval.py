@@ -109,6 +109,7 @@ def eval_main(cfg):
                                cfg.num_workers, cfg.pin_memory,
                                cfg.metric.get("torch_device", None),
                                asr_backend=cfg.metric.get("asr_backend", "torch"),
+                               llm_backend=cfg.metric.get("llm_backend", "torch"),
                                **gen_kwargs)
         else:
             raise ValueError(f"Unknown metric type: {mt}")

@@ -200,9 +200,12 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
                  use_alignment=False, sample_rate=16000, num_files=None,
                  num_workers: int = 8, pin_memory: bool = True,
                  torch_device: Optional[str] = None,
-                 asr_backend: str = "torch", **generate_kwargs):
+                 asr_backend: str = "torch",
+                 llm_backend: str = "torch", **generate_kwargs):
     """Generate -> transcribe prompt & continuation -> judge with \\boxed{n}
-    scores (reference generative_metric.py:137-173)."""
+    scores (reference generative_metric.py:137-173). asr_backend / 
+    llm_backend = 'jax' run Whisper / the HF judge LM on the TPU stack
+    (OpenAI judge names always use the API)."""
     dataset = PromptDataset(data_path, num_files=num_files,
                             prompt_length=prompt_length, sample_rate=sample_rate,
                             min_file_length=min_file_length,
@@ -215,7 +218,8 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
     device = _resolve_torch_device(torch_device)
     whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
                                             backend=asr_backend)
-    judge = get_judge(llm_name_or_path, device=device, batch_size=batch_size)
+    judge = get_judge(llm_name_or_path, device=device, batch_size=batch_size,
+                      backend=llm_backend)
     gen, prompts, texts, prompt_texts, gen_texts = [], [], [], [], []
     for audio, lens in dataset.batches(batch_size):
         gen_res = model.generate(audio, lens, used_tokens_modality,

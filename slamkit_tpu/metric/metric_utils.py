@@ -111,11 +111,21 @@ def extract_digit_from_boxed(string: str):
 
 def judge_text(model, tokeniser, text: List[str], device="cpu"):
     tokeniser.padding_side = "left"
-    model_inputs = tokeniser(text, return_tensors="pt", padding=True).to(device)
-    generation = model.generate(
-        input_ids=model_inputs["input_ids"],
-        attention_mask=model_inputs["attention_mask"],
-        max_new_tokens=512, do_sample=True, temperature=0.8)
+    if hasattr(model, "log_likelihood"):  # JAX backend (UnitLM)
+        import numpy as np
+
+        enc = tokeniser(text, return_tensors="np", padding=True)
+        generation = np.asarray(model.generate(
+            enc["input_ids"].astype(np.int32),
+            attention_mask=enc["attention_mask"].astype(np.int32),
+            max_new_tokens=512, do_sample=True, temperature=0.8))
+    else:
+        model_inputs = tokeniser(text, return_tensors="pt",
+                                 padding=True).to(device)
+        generation = model.generate(
+            input_ids=model_inputs["input_ids"],
+            attention_mask=model_inputs["attention_mask"],
+            max_new_tokens=512, do_sample=True, temperature=0.8)
     decode = tokeniser.batch_decode(generation, skip_special_tokens=True)
     return [extract_digit_from_boxed(t) for t in decode]
 
@@ -157,8 +167,23 @@ class OpenAIJudge:
         return res
 
 
-def get_judge(name, device, batch_size):
+def get_judge(name, device, batch_size, backend="torch"):
+    """backend='jax' (HF judges only — OpenAI names always go to the API)
+    runs the judge LM's sampling generation through the TPU decoder stack
+    (UnitLM.generate: left-padded prompts, traced temperature)."""
     if name in OPENAI_MODELS:
         return OpenAIJudge(name)
-    model, tokeniser = get_llm(name, device)
+    model, tokeniser = get_llm(name, device, backend=backend)
+    if backend == "jax":
+        # generation must stop at the judge model's own eos, not the
+        # UnitLM default unit-vocab ids
+        from transformers import AutoConfig
+
+        hf = AutoConfig.from_pretrained(name)
+        eos = (tokeniser.eos_token_id if tokeniser.eos_token_id is not None
+               else hf.eos_token_id)
+        if isinstance(eos, (list, tuple)):  # qwen-style multi-eos configs
+            eos = eos[0]
+        model.config.eos_token_id = int(eos)
+        model.config.pad_token_id = int(tokeniser.pad_token_id)
     return LLMJudge(model, tokeniser, device, batch_size)

@@ -89,3 +89,47 @@ def test_get_llm_jax_backend_builds_from_local_dir(tmp_path):
     lp = lg[0, :-1] - np.log(np.exp(lg[0, :-1]).sum(-1, keepdims=True))
     want = lp[np.arange(3), tgt].mean()
     np.testing.assert_allclose(ll[0], want, atol=1e-4)
+
+
+def test_jax_judge_generation(tmp_path):
+    """judge_text dispatches a UnitLM-backed judge through the jitted
+    sampling decode and still extracts \\boxed scores from the decoded
+    strings (fake tokenizer: decode emits boxed(last token % 10))."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from slamkit_tpu.metric.metric_utils import judge_text
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    hf_cfg = LlamaConfig(
+        vocab_size=48, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=1024, attn_implementation="eager")
+    torch.manual_seed(2)
+    d = tmp_path / "judge"
+    LlamaForCausalLM(hf_cfg).save_pretrained(d)
+    lm = UnitLM(UnitLMConfig(base_model_name=str(d), vocab_size=48,
+                             twist_init=True, pad_token_id=0,
+                             torch_dtype="float32"))
+    lm.config.eos_token_id = 2
+
+    class Tok:
+        pad_token_id = 0
+        padding_side = "right"
+
+        def __call__(self, texts, padding=True, return_tensors="np"):
+            rows = [[1] + [3 + (hash(w) % 37) for w in t.split()]
+                    for t in texts]
+            width = max(len(r) for r in rows)
+            ids = np.zeros((len(rows), width), np.int64)
+            mask = np.zeros((len(rows), width), np.int64)
+            for i, r in enumerate(rows):  # LEFT pad, judge convention
+                ids[i, width - len(r):] = r
+                mask[i, width - len(r):] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+        def batch_decode(self, seqs, skip_special_tokens=True):
+            return [f"judged \\boxed{{{int(s[-1]) % 10}}}" for s in seqs]
+
+    scores = judge_text(lm, Tok(), ["rate this please", "and this"])
+    assert len(scores) == 2
+    assert all(isinstance(s, int) and 0 <= s <= 9 for s in scores)
