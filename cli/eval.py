@@ -96,6 +96,7 @@ def eval_main(cfg):
                                  cfg.num_workers, cfg.pin_memory,
                                  cfg.metric.get("torch_device", None),
                                  asr_backend=cfg.metric.get("asr_backend", "torch"),
+                                 asr_dtype=cfg.metric.get("asr_dtype", "float32"),
                                  llm_backend=cfg.metric.get("llm_backend", "torch"),
                                  **gen_kwargs)
         elif mt == "llm_as_judge":
@@ -109,6 +110,7 @@ def eval_main(cfg):
                                cfg.num_workers, cfg.pin_memory,
                                cfg.metric.get("torch_device", None),
                                asr_backend=cfg.metric.get("asr_backend", "torch"),
+                               asr_dtype=cfg.metric.get("asr_dtype", "float32"),
                                llm_backend=cfg.metric.get("llm_backend", "torch"),
                                **gen_kwargs)
         else:

@@ -156,7 +156,7 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
                    auto_bleu_n: int = 2, sample_rate=16000, num_files=None,
                    num_workers: int = 8, pin_memory: bool = True,
                    torch_device: Optional[str] = None,
-                   asr_backend: str = "torch",
+                   asr_backend: str = "torch", asr_dtype: str = "float32",
                    llm_backend: str = "torch", **generate_kwargs):
     """GenPPL: generate -> Whisper transcribe -> text-LM perplexity +
     auto-BLEU (reference generative_metric.py:108-135).
@@ -174,7 +174,8 @@ def asr_perplexity(model, data_path: str, batch_size: int, whisper_model: str,
     assert len(dataset) > 0, f"no samples found for {data_path}"
     device = _resolve_torch_device(torch_device)
     whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
-                                            backend=asr_backend)
+                                            backend=asr_backend,
+                                            dtype=asr_dtype)
     llm, text_lm_tokeniser = get_llm(llm_name_or_path, device=device,
                                      backend=llm_backend)
     nlls, gen, prompts, bleus = [], [], [], []
@@ -200,7 +201,7 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
                  use_alignment=False, sample_rate=16000, num_files=None,
                  num_workers: int = 8, pin_memory: bool = True,
                  torch_device: Optional[str] = None,
-                 asr_backend: str = "torch",
+                 asr_backend: str = "torch", asr_dtype: str = "float32",
                  llm_backend: str = "torch", **generate_kwargs):
     """Generate -> transcribe prompt & continuation -> judge with \\boxed{n}
     scores (reference generative_metric.py:137-173). asr_backend / 
@@ -217,7 +218,8 @@ def llm_as_judge(model, data_path: str, batch_size: int, whisper_model: str,
     assert "[generated_audio_transcription]" in instruction
     device = _resolve_torch_device(torch_device)
     whisper_pipeline = get_whisper_pipeline(whisper_model, device=device,
-                                            backend=asr_backend)
+                                            backend=asr_backend,
+                                            dtype=asr_dtype)
     judge = get_judge(llm_name_or_path, device=device, batch_size=batch_size,
                       backend=llm_backend)
     gen, prompts, texts, prompt_texts, gen_texts = [], [], [], [], []

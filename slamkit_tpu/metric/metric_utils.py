@@ -1,10 +1,12 @@
 """Host-side eval tools: Whisper ASR pipeline, text-LM perplexity, LLM judges.
 
-Counterpart of reference slamkit/metric/metric_utils.py:20-129. These are
-off-device scoring components (SURVEY.md §7 'hard parts'): they run on torch
-CPU (or any available torch device) while the SpeechLM under test runs on
-TPU. The \\boxed{} parser, judge sampling params (temp 0.8, 512 new tokens)
-and the OpenAI fallback match the reference exactly."""
+Counterpart of reference slamkit/metric/metric_utils.py:20-129. By default
+these scoring components run on torch CPU (or any torch device) while the
+SpeechLM under test runs on TPU; each has an opt-in 'jax' backend
+(asr_backend / llm_backend) that runs it on the TPU stack instead —
+whisper_jax.py for ASR, the UnitLM decoder for text-LM perplexity and HF
+judge generation. The \\boxed{} parser, judge sampling params (temp 0.8,
+512 new tokens) and the OpenAI fallback match the reference exactly."""
 from __future__ import annotations
 
 import logging
@@ -17,14 +19,16 @@ logger = logging.getLogger(__name__)
 OPENAI_MODELS = ["gpt-3.5-turbo", "gpt-4", "gpt-4o"]
 
 
-def get_whisper_pipeline(model_id, device="cpu", backend="torch"):
+def get_whisper_pipeline(model_id, device="cpu", backend="torch",
+                         dtype="float32"):
     """backend='jax' runs the TPU-native Whisper (whisper_jax.py) on the
     default JAX device — the whole GenPPL loop stays on-chip; `device`
-    then only matters for the torch path."""
+    then only matters for the torch path. dtype='bfloat16' halves the
+    jax path's weight reads (MXU-native); parity tests run float32."""
     if backend == "jax":
         from .whisper_jax import JaxWhisperPipeline
 
-        return JaxWhisperPipeline(model_id)
+        return JaxWhisperPipeline(model_id, dtype=dtype)
     import torch
     from transformers import AutoModelForSpeechSeq2Seq, AutoProcessor, pipeline
 
