@@ -126,12 +126,14 @@ def main():
     wavs = synthesize_batch(params, FULL_CFG, codes, dur_prediction=False,
                             bucket_frames=args.bucket)
     total_audio = sum(w.size for w in wavs) / SAMPLE_RATE
-    _ = np.asarray(wavs[0][:1])  # host pull = sync
+    _ = float(sum(w[-1] for w in wavs))  # ONE host pull = sync
 
     t0 = time.perf_counter()
     wavs = synthesize_batch(params, FULL_CFG, codes, dur_prediction=False,
                             bucket_frames=args.bucket)
-    _ = [np.asarray(w[:1]) for w in wavs]  # host pull = sync
+    # sync with ONE scalar pull: per-wav np.asarray would pay a full
+    # tunnel RTT 64 times and measure the relay, not the synthesis
+    _ = float(sum(w[-1] for w in wavs))
     dt = time.perf_counter() - t0
 
     print(f"synthesized {total_audio:.1f}s of 16kHz audio for "
