@@ -17,12 +17,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+#: Mesh axes the trainers understand: 'data' (DP/fsdp batch axis, always
+#: present), 'model' (Megatron TP), 'seq' (context/sequence parallel — the
+#: time dim of batches is sharded and XLA inserts the attention k/v
+#: all-gathers; SURVEY.md §2.8 lists SP as the one stretch goal beyond the
+#: reference's DDP-only world).
+KNOWN_AXES = ("data", "model", "seq")
+
+
 def make_mesh(shape: Optional[Sequence[int]] = None,
               axis_names: Optional[Sequence[str]] = None) -> Mesh:
     """Build a mesh over the available devices.
 
     shape=None -> all devices on a 1-D 'data' axis (the reference's DDP
-    world). shape=[d, m] -> ('data', 'model') for 2-D layouts.
+    world). shape=[d, m] -> ('data', 'model') for 2-D layouts; pass
+    axis_names=('data', 'seq') for context parallelism instead.
     """
     devices = np.asarray(jax.devices())
     if shape is None:
@@ -32,11 +41,29 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
         raise ValueError(f"mesh shape {shape} != device count {len(devices)}")
     if axis_names is None:
         axis_names = ("data", "model")[:len(shape)]
-    return Mesh(devices.reshape(shape), tuple(axis_names))
+    axis_names = tuple(axis_names)
+    if len(axis_names) != len(shape):
+        raise ValueError(f"mesh_axes {axis_names} rank != mesh shape {shape}")
+    unknown = [a for a in axis_names if a not in KNOWN_AXES]
+    if unknown or "data" not in axis_names:
+        raise ValueError(
+            f"mesh axes must be drawn from {KNOWN_AXES} and include 'data'; "
+            f"got {axis_names}")
+    return Mesh(devices.reshape(shape), axis_names)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over 'data'; rest replicated."""
+def seq_axis_size(mesh: Mesh) -> int:
+    """Size of the 'seq' (context-parallel) axis; 1 when absent."""
+    return int(mesh.shape.get("seq", 1)) if "seq" in mesh.axis_names else 1
+
+
+def batch_sharding(mesh: Mesh, time_dim: Optional[int] = None) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'; rest replicated. With a
+    'seq' mesh axis and a divisible time_dim, the trailing (time) dim is
+    sharded over 'seq' as well (context parallelism)."""
+    n_seq = seq_axis_size(mesh)
+    if n_seq > 1 and time_dim is not None and time_dim % n_seq == 0:
+        return NamedSharding(mesh, P("data", "seq"))
     return NamedSharding(mesh, P("data"))
 
 
@@ -185,8 +212,10 @@ def opt_state_shardings(opt_state, params, param_shardings_tree, mesh: Mesh):
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch on the mesh: arrays with a batch dim go over 'data',
-    scalars replicated."""
-    bs = batch_sharding(mesh)
+    scalars replicated. A [B, T] array whose time dim divides a 'seq' axis is
+    additionally context-sharded over it."""
     rep = replicated(mesh)
-    return {k: jax.device_put(v, bs if np.ndim(v) >= 2 else rep)
+    return {k: jax.device_put(
+                v, batch_sharding(mesh, np.shape(v)[-1]) if np.ndim(v) >= 2
+                else rep)
             for k, v in batch.items()}

@@ -71,7 +71,12 @@ class SLAMDPOTrainer:
         self.args = args
         self.callbacks = callbacks or []
         self.log_fn = log_fn
-        self.mesh = mesh or make_mesh(args.get("mesh_shape", None))
+        self.mesh = mesh or make_mesh(args.get("mesh_shape", None),
+                                      args.get("mesh_axes", None))
+        if "seq" in self.mesh.axis_names and self.mesh.shape["seq"] > 1:
+            raise NotImplementedError(
+                "context parallelism ('seq' mesh axis) is a pretrain-trainer "
+                "feature; DPO batches are short prompt+completion rows")
         self.beta = float(args.get("beta", 0.1))
         self.state = TrainerState()
         self.control = TrainerControl()

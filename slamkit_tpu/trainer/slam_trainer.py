@@ -61,7 +61,8 @@ class SLAMTrainer:
         self.args = args
         self.callbacks = callbacks or []
         self.log_fn = log_fn
-        self.mesh = mesh or make_mesh(args.get("mesh_shape", None))
+        self.mesh = mesh or make_mesh(args.get("mesh_shape", None),
+                                      args.get("mesh_axes", None))
         self.accum = int(args.get("gradient_accumulation_steps", 1) or 1)
         n_data = self.mesh.shape["data"]
         self.global_batch = int(args.per_device_train_batch_size) * n_data
@@ -212,6 +213,29 @@ class SLAMTrainer:
             return nll.sum(), valid.sum()
 
         fsdp = bool(self.args.get("fsdp", False))
+        # context parallelism (SURVEY §2.8 stretch goal): a 'seq' mesh axis
+        # shards the TIME dim of every batch array; XLA's SPMD partitioner
+        # inserts the attention k/v all-gathers + halo exchanges over ICI.
+        # The Pallas flash kernel has no partitioning rule for a sharded
+        # sequence dim, so CP requires the XLA attention path.
+        n_seq = self.mesh.shape.get("seq", 1) if "seq" in self.mesh.axis_names else 1
+        if n_seq > 1:
+            from ..models.transformer import _use_flash
+            if _use_flash(model.decoder):
+                raise ValueError(
+                    "context parallelism (mesh_axes with 'seq') needs the XLA "
+                    "attention path: set model.config_args."
+                    "attn_implementation=xla")
+            if self.context_len % n_seq != 0:
+                raise ValueError(f"context_len {self.context_len} not "
+                                 f"divisible by seq axis {n_seq}")
+            if jax.process_count() > 1:
+                # _put_train_batch contributes per-process ROW shards; a
+                # time-sharded global array needs a per-process (row, time)
+                # tile map that no deployment here has exercised yet
+                raise NotImplementedError(
+                    "context parallelism is single-process for now")
+        seq = ("seq",) if n_seq > 1 else ()
         tp = mesh.shape.get("model", 1) > 1
         if tp:
             # 2-D mesh: Megatron-style TP over 'model' (optionally + fsdp
@@ -236,7 +260,7 @@ class SLAMTrainer:
             init_state["rng"] = jax.random.PRNGKey(
                 int(self.args.get("seed", 0)))
 
-        batch_sh = {k: NamedSharding(mesh, P(None, "data"))
+        batch_sh = {k: NamedSharding(mesh, P(None, "data", *seq))
                     for k in ("input_ids", "labels", "segment_ids", "positions")}
         self._batch_sh = batch_sh
         self._train_step = jax.jit(step_fn, donate_argnums=(0,),
@@ -244,7 +268,7 @@ class SLAMTrainer:
                                    out_shardings=(self._state_sh, None))
         self._eval_batch_keys = ("input_ids", "labels", "segment_ids",
                                  "positions")
-        eval_batch_sh = {k: NamedSharding(mesh, P("data"))
+        eval_batch_sh = {k: NamedSharding(mesh, P("data", *seq))
                          for k in self._eval_batch_keys}
         self._eval_step = jax.jit(eval_step,
                                   in_shardings=(self._param_sh, eval_batch_sh))

@@ -358,6 +358,59 @@ def test_tp_train_step_loss_parity(tmp_path):
     np.testing.assert_allclose(l_tp, l_dp, rtol=2e-4)
 
 
+def test_seq_parallel_train_step_loss_parity(tmp_path):
+    """Context parallelism (mesh [4,2] with axes (data, seq); SURVEY §2.8
+    stretch goal): the TIME dim of every batch array is sharded over 'seq'
+    and XLA inserts the attention gathers — losses must match the 1-D
+    data-parallel run step for step on the identical global batch stream."""
+    ref = SLAMTrainer(tiny_model(), train_args(tmp_path / "dp"), tiny_dataset(),
+                      context_len=32)
+    s_dp = ref.train()
+    cp = SLAMTrainer(tiny_model(),
+                     train_args(tmp_path / "cp", mesh_shape="[4,2]",
+                                mesh_axes="[data,seq]",
+                                per_device_train_batch_size=2),
+                     tiny_dataset(), eval_dataset=tiny_dataset(8, seed=1),
+                     context_len=32)
+    from jax.sharding import PartitionSpec as P
+    assert cp._batch_sh["input_ids"].spec == P(None, "data", "seq")
+    s_cp = cp.train()
+    l_dp = [r["loss"] for r in s_dp.log_history if "loss" in r]
+    l_cp = [r["loss"] for r in s_cp.log_history if "loss" in r]
+    assert len(l_dp) == len(l_cp) == 2
+    np.testing.assert_allclose(l_cp, l_dp, rtol=2e-4)
+    # the time-sharded eval path runs too and matches the 1-D eval
+    ref_ev = SLAMTrainer(tiny_model(), train_args(tmp_path / "dp2"),
+                         tiny_dataset(), eval_dataset=tiny_dataset(8, seed=1),
+                         context_len=32)
+    np.testing.assert_allclose(cp.evaluate()["eval_loss"],
+                               ref_ev.evaluate()["eval_loss"], rtol=2e-4)
+
+
+def test_seq_parallel_guards(tmp_path):
+    """CP refuses the Pallas flash path (no partitioning rule for a sharded
+    sequence dim), indivisible contexts, and unknown mesh axis names."""
+    from slamkit_tpu.models.unit_lm import UnitLM, UnitLMConfig
+
+    flash_model = UnitLM(UnitLMConfig(
+        base_model_name="EleutherAI/pythia-14m", vocab_size=64,
+        twist_init=False, attn_implementation="flash_attention_2"), seed=0)
+    with pytest.raises(ValueError, match="attn_implementation=xla"):
+        SLAMTrainer(flash_model,
+                    train_args(tmp_path / "a", mesh_shape="[4,2]",
+                               mesh_axes="[data,seq]",
+                               per_device_train_batch_size=2),
+                    tiny_dataset(), context_len=32)
+    with pytest.raises(ValueError, match="not divisible"):
+        SLAMTrainer(tiny_model(),
+                    train_args(tmp_path / "b", mesh_shape="[2,4]",
+                               mesh_axes="[data,seq]",
+                               per_device_train_batch_size=4),
+                    tiny_dataset(), context_len=30)
+    with pytest.raises(ValueError, match="mesh axes"):
+        make_mesh([4, 2], ("data", "pipeline"))
+
+
 def test_tp_fsdp_combined_shardings(tmp_path):
     """mesh [4,2] + fsdp: TP claims the Megatron dim, ZeRO-3 shards a
     remaining dim over 'data'; training still steps."""
