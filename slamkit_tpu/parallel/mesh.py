@@ -57,12 +57,16 @@ def seq_axis_size(mesh: Mesh) -> int:
     return int(mesh.shape.get("seq", 1)) if "seq" in mesh.axis_names else 1
 
 
-def batch_sharding(mesh: Mesh, time_dim: Optional[int] = None) -> NamedSharding:
+def batch_sharding(mesh: Mesh, time_dim: Optional[int] = None,
+                   ndim: int = 2) -> NamedSharding:
     """Shard the leading (batch) dim over 'data'; rest replicated. With a
-    'seq' mesh axis and a divisible time_dim, the trailing (time) dim is
-    sharded over 'seq' as well (context parallelism)."""
+    'seq' mesh axis, a 2-D [B, T] array whose divisible time_dim is passed
+    gets its time dim sharded over 'seq' as well (context parallelism).
+    time_dim must be the size of dim 1 — only rank-2 batches qualify, so
+    higher-rank arrays never get a feature dim context-sharded by accident."""
     n_seq = seq_axis_size(mesh)
-    if n_seq > 1 and time_dim is not None and time_dim % n_seq == 0:
+    if (n_seq > 1 and ndim == 2 and time_dim is not None
+            and time_dim % n_seq == 0):
         return NamedSharding(mesh, P("data", "seq"))
     return NamedSharding(mesh, P("data"))
 
@@ -216,6 +220,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     additionally context-sharded over it."""
     rep = replicated(mesh)
     return {k: jax.device_put(
-                v, batch_sharding(mesh, np.shape(v)[-1]) if np.ndim(v) >= 2
+                v, batch_sharding(mesh,
+                                  np.shape(v)[1] if np.ndim(v) == 2 else None,
+                                  ndim=np.ndim(v)) if np.ndim(v) >= 2
                 else rep)
             for k, v in batch.items()}

@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import Batcher, TokenDataset
-from ..parallel.mesh import make_mesh, param_shardings, replicated
+from ..parallel.mesh import (make_mesh, param_shardings, replicated,
+                             seq_axis_size)
 from .callbacks import TrainerCallback, TrainerControl, TrainerState
 from .optim import make_optimizer
 
@@ -218,7 +219,7 @@ class SLAMTrainer:
         # inserts the attention k/v all-gathers + halo exchanges over ICI.
         # The Pallas flash kernel has no partitioning rule for a sharded
         # sequence dim, so CP requires the XLA attention path.
-        n_seq = self.mesh.shape.get("seq", 1) if "seq" in self.mesh.axis_names else 1
+        n_seq = seq_axis_size(self.mesh)
         if n_seq > 1:
             from ..models.transformer import _use_flash
             if _use_flash(model.decoder):
