@@ -203,13 +203,29 @@ def _use_flash(cfg: DecoderConfig) -> bool:
 
 
 def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True,
-               dropout_rng=None):
+               dropout_rng=None, cp_mesh=None):
     if _use_flash(cfg):
+        # interpret mode runs the same kernels on the CPU test mesh (like
+        # quant.dq_matmul) so attn_implementation=flash_attention_2 works
+        # everywhere; TPU compiles them for real
+        interpret = jax.default_backend() == "cpu"
+        if cp_mesh is not None:
+            # context parallelism: the time dim is sharded over the 'seq'
+            # mesh axis — ring schedule around the kernel (ops/ring_attention)
+            from ..ops.ring_attention import ring_flash_attention
+
+            return ring_flash_attention(q, k, v, segment_ids=segment_ids,
+                                        mesh=cp_mesh,
+                                        sm_scale=cfg.head_dim ** -0.5,
+                                        block_q=cfg.flash_block_q or None,
+                                        block_k=cfg.flash_block_k or None,
+                                        interpret=interpret)
         # forward() rejects attention_dropout>0 + flash up front
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
                                sm_scale=cfg.head_dim ** -0.5,
                                block_q=cfg.flash_block_q or None,
-                               block_k=cfg.flash_block_k or None)
+                               block_k=cfg.flash_block_k or None,
+                               interpret=interpret)
     return mha_reference(q, k, v, segment_ids=segment_ids, causal=causal,
                          sm_scale=cfg.head_dim ** -0.5,
                          dropout_rate=cfg.attention_dropout,
@@ -268,7 +284,7 @@ def _dropout(x, rate: float, rng):
 
 
 def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
-           cache_index=None, dropout_rng=None):
+           cache_index=None, dropout_rng=None, cp_mesh=None):
     """One decoder block. cache_kv: optional (k, v) [B, Hkv, Tmax, Dh] to update
     at cache_index (decode); returns (out, new_cache_kv)."""
     dt = x.dtype
@@ -337,7 +353,8 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
         # the full history during prefill)
         attn = _attention(q, k, v, segment_ids, cfg, causal=True,
                           dropout_rng=(dropout_rng[0]
-                                       if dropout_rng is not None else None))
+                                       if dropout_rng is not None else None),
+                          cp_mesh=cp_mesh)
 
     if cfg.remat and cfg.remat_policy == "qkv":
         from jax.ad_checkpoint import checkpoint_name
@@ -373,7 +390,8 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             segment_ids: Optional[jax.Array] = None,
             cache: Optional[Any] = None,
             cache_index: Optional[jax.Array] = None,
-            dropout_rng: Optional[jax.Array] = None):
+            dropout_rng: Optional[jax.Array] = None,
+            cp_mesh=None):
     """Run the decoder. Returns (logits_f32 [B,T,V], new_cache).
 
     positions default to 0..T-1; pass explicit positions for left-padded
@@ -381,6 +399,9 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
     that matters and are excluded as keys). dropout_rng activates the
     config's dropout/attention_dropout/layerdrop rates (training); without
     it the forward is deterministic (reference: HF model.eval() semantics).
+    cp_mesh: a Mesh with a 'seq' axis — the flash path runs ring attention
+    with the time dim sequence-sharded (context parallelism); everything
+    else in the block stays GSPMD-sharded by the caller's in_shardings.
     """
     use_do = dropout_rng is not None and (
         cfg.dropout > 0.0 or cfg.attention_dropout > 0.0 or cfg.layerdrop > 0.0)
@@ -425,7 +446,7 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             def body(carry, xs):
                 lp, keys = xs
                 out, _ = _layer(carry, lp, positions, segment_ids, cfg,
-                                dropout_rng=keys[1:])
+                                dropout_rng=keys[1:], cp_mesh=cp_mesh)
                 if cfg.layerdrop > 0.0:
                     # HF layerdrop: skip the whole layer with prob p, no
                     # rescale (train-only)
@@ -436,7 +457,8 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             xs = (layer_params, layer_keys)
         else:
             def body(carry, lp):
-                out, _ = _layer(carry, lp, positions, segment_ids, cfg)
+                out, _ = _layer(carry, lp, positions, segment_ids, cfg,
+                                cp_mesh=cp_mesh)
                 return out, None
 
             xs = layer_params

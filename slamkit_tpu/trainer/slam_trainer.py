@@ -157,9 +157,11 @@ class SLAMTrainer:
                      ("input_ids", "labels", "segment_ids", "positions")}
 
             def one(params, mb, sub=None):
+                # cp_mesh is assigned later in _build_step (late-bound
+                # closure; tracing happens after _build_step returns)
                 return model.loss_fn(params,
                                      {**mb, "num_items_in_batch": num_items},
-                                     dropout_rng=sub)
+                                     dropout_rng=sub, cp_mesh=cp_mesh)
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
             if uses_dropout:
@@ -205,7 +207,8 @@ class SLAMTrainer:
             from ..utils.calculation_utils import token_nll
             logits, _ = forward(params, model.decoder, batch["input_ids"],
                                 positions=batch["positions"],
-                                segment_ids=batch["segment_ids"])
+                                segment_ids=batch["segment_ids"],
+                                cp_mesh=cp_mesh)
             labels = batch["labels"]
             shift_logits = logits[..., :-1, :]
             shift_labels = labels[..., 1:]
@@ -215,21 +218,28 @@ class SLAMTrainer:
 
         fsdp = bool(self.args.get("fsdp", False))
         # context parallelism (SURVEY §2.8 stretch goal): a 'seq' mesh axis
-        # shards the TIME dim of every batch array; XLA's SPMD partitioner
-        # inserts the attention k/v all-gathers + halo exchanges over ICI.
-        # The Pallas flash kernel has no partitioning rule for a sharded
-        # sequence dim, so CP requires the XLA attention path.
+        # shards the TIME dim of every batch array. On the flash path the
+        # kernel itself runs sequence-sharded (ring attention,
+        # ops/ring_attention.py: ppermute k/v rotation + LSE merge); on the
+        # XLA path GSPMD inserts the attention k/v all-gathers instead.
         n_seq = seq_axis_size(self.mesh)
+        cp_mesh = None
         if n_seq > 1:
             from ..models.transformer import _use_flash
-            if _use_flash(model.decoder):
-                raise ValueError(
-                    "context parallelism (mesh_axes with 'seq') needs the XLA "
-                    "attention path: set model.config_args."
-                    "attn_implementation=xla")
             if self.context_len % n_seq != 0:
                 raise ValueError(f"context_len {self.context_len} not "
                                  f"divisible by seq axis {n_seq}")
+            if _use_flash(model.decoder):
+                if (self.context_len // n_seq) % 128 != 0:
+                    raise ValueError(
+                        f"ring-attention context parallelism needs "
+                        f"lane-aligned chunks: context_len "
+                        f"{self.context_len} / seq axis {n_seq} = "
+                        f"{self.context_len // n_seq} (must be a multiple "
+                        f"of 128); use the XLA path "
+                        f"(model.config_args.attn_implementation=xla) for "
+                        f"smaller chunks")
+                cp_mesh = self.mesh
             if jax.process_count() > 1:
                 # _put_train_batch contributes per-process ROW shards; a
                 # time-sharded global array needs a per-process (row, time)

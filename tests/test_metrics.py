@@ -109,9 +109,8 @@ def test_sblimp_end_to_end(tmp_path):
 
     # sharded eval (cli/eval.py eval_mesh): identical scores over the
     # 8-device data mesh — batch rows shard, likelihoods are per-row.
-    # batch_size must be a multiple of the mesh size (clear error below).
-    import pytest as _pytest
-
+    # Non-divisible batches pad-and-mask (tail rows dropped), so ANY
+    # batch_size works (VERDICT r4 weak #5).
     from slamkit_tpu.parallel.mesh import make_mesh
 
     for i in range(4, 8):  # 8 pairs total -> one full 8-row batch per side
@@ -121,8 +120,10 @@ def test_sblimp_end_to_end(tmp_path):
     lm.shard(make_mesh())
     res_mesh = sblimp(model, str(tmp_path), None, batch_size=8, subfolder=False)
     assert res_mesh["sBLIMP"] == res8["sBLIMP"]
-    with _pytest.raises(ValueError, match="multiple of the mesh"):
-        sblimp(model, str(tmp_path), None, batch_size=6, subfolder=False)
+    # batch 6 over 8 devices: 12-row LL batches pad to 16, tail dropped —
+    # same decisions as the unsharded run
+    res_odd = sblimp(model, str(tmp_path), None, batch_size=6, subfolder=False)
+    assert res_odd["sBLIMP"] == res8["sBLIMP"]
 
 
 # --------------------------------------------------------------------------- #
