@@ -301,11 +301,40 @@ def compose(config_dir: str, config_name: str,
     return cfg
 
 
+def _split_sweep(value: str) -> list[str]:
+    """Split a hydra choice-sweep value on TOP-LEVEL commas only — commas
+    inside brackets/quotes belong to list/str literals (`mesh_shape=[4,2]`
+    must not fan out)."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in value:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+        elif ch in "[{(":
+            depth += 1
+        elif ch in "]})":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def main(config_name: str, config_path: str = "../config", version_base: str | None = None):
     """Decorator mirroring `@hydra.main` for CLI entry points.
 
     `config_path` is resolved relative to the decorated function's file, exactly
-    like Hydra does (reference cli/train.py:16).
+    like Hydra does (reference cli/train.py:16). `-m`/`--multirun` runs the
+    cartesian product of comma-swept overrides sequentially (hydra's basic
+    launcher semantics; jobs share the process — give swept runs distinct
+    output paths, e.g. by sweeping `training_args.output_dir` too).
     """
 
     def decorator(fn):
@@ -343,10 +372,36 @@ def main(config_name: str, config_path: str = "../config", version_base: str | N
                 import jax
 
                 jax.config.update("jax_platforms", requested)
+            multirun = False
+            for flag in ("-m", "--multirun"):
+                while flag in overrides:
+                    overrides.remove(flag)
+                    multirun = True
             fn_dir = os.path.dirname(os.path.abspath(sys.modules[fn.__module__].__file__))
             config_dir = os.path.normpath(os.path.join(fn_dir, chosen_path))
-            cfg = compose(config_dir, chosen_name, overrides)
-            return fn(cfg)
+            if not multirun:
+                cfg = compose(config_dir, chosen_name, overrides)
+                return fn(cfg)
+            # hydra -m: expand comma sweeps into the cartesian product and
+            # launch each job sequentially (basic launcher)
+            import itertools
+
+            axes = []
+            for item in overrides:
+                key, sep, raw = item.partition("=")
+                vals = _split_sweep(raw) if sep else [None]
+                if sep and len(vals) > 1:
+                    axes.append([f"{key}={v}" for v in vals])
+                else:
+                    axes.append([item])
+            jobs = list(itertools.product(*axes))
+            results = []
+            for i, job in enumerate(jobs):
+                print(f"[multirun] job {i}/{len(jobs)}: "
+                      f"{' '.join(job) or '(no overrides)'}", flush=True)
+                cfg = compose(config_dir, chosen_name, list(job))
+                results.append(fn(cfg))
+            return results
 
         wrapper.__wrapped_config__ = (config_name, config_path)
         return wrapper

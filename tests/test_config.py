@@ -220,3 +220,32 @@ def test_repeated_group_override_last_wins(config_dir):
                                        "model=slam_dh128"])
     assert int(cfg.model.config_args.head_dim) == 128
     assert int(cfg.model.config_args.num_attention_heads) == 7
+
+
+def test_multirun_cartesian_sweep():
+    """hydra -m: comma-swept overrides fan out into the cartesian product,
+    run sequentially; commas inside brackets are list literals, not sweeps
+    (reference depends on hydra-core's basic launcher — VERDICT r4 #5)."""
+    from slamkit_tpu.config.compose import main as compose_main
+
+    calls = []
+
+    @compose_main(config_name="train", config_path="../config")
+    def job(cfg):
+        calls.append((int(cfg.model.context_len),
+                      int(cfg.training_args.max_steps)))
+        return cfg.training_args.mesh_shape
+
+    shapes = job(["-m", "model.context_len=64,128",
+                  "training_args.max_steps=1,2",
+                  "training_args.mesh_shape=[4,2]",
+                  "training_args.output_dir=/tmp/mr",
+                  "data.train_path=/dev/null"])
+    assert sorted(calls) == [(64, 1), (64, 2), (128, 1), (128, 2)]
+    assert all(list(s) == [4, 2] for s in shapes)
+
+    # single-run mode is untouched (one call, no fan-out)
+    calls.clear()
+    job(["model.context_len=96", "training_args.output_dir=/tmp/mr",
+         "data.train_path=/dev/null"])
+    assert len(calls) == 1 and calls[0][0] == 96
