@@ -217,11 +217,20 @@ def opt_state_shardings(opt_state, params, param_shardings_tree, mesh: Mesh):
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch on the mesh: arrays with a batch dim go over 'data',
     scalars replicated. A [B, T] array whose time dim divides a 'seq' axis is
-    additionally context-sharded over it."""
+    additionally context-sharded over it. Multihost: every process passes the
+    identical global batch; each device slices its own tile."""
     rep = replicated(mesh)
-    return {k: jax.device_put(
-                v, batch_sharding(mesh,
-                                  np.shape(v)[1] if np.ndim(v) == 2 else None,
-                                  ndim=np.ndim(v)) if np.ndim(v) >= 2
-                else rep)
+
+    def put(v, sh):
+        if jax.process_count() > 1:
+            arr = np.asarray(v)
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx: arr[idx])
+        return jax.device_put(v, sh)
+
+    return {k: put(v, batch_sharding(mesh,
+                                     np.shape(v)[1] if np.ndim(v) == 2
+                                     else None,
+                                     ndim=np.ndim(v)) if np.ndim(v) >= 2
+                   else rep)
             for k, v in batch.items()}

@@ -240,12 +240,9 @@ class SLAMTrainer:
                         f"(model.config_args.attn_implementation=xla) for "
                         f"smaller chunks")
                 cp_mesh = self.mesh
-            if jax.process_count() > 1:
-                # _put_train_batch contributes per-process ROW shards; a
-                # time-sharded global array needs a per-process (row, time)
-                # tile map that no deployment here has exercised yet
-                raise NotImplementedError(
-                    "context parallelism is single-process for now")
+            # multihost CP: _put_train_batch switches to a per-device tile
+            # callback (every process already holds the identical global
+            # batch), so a time-sharded global array needs no special map
         seq = ("seq",) if n_seq > 1 else ()
         tp = mesh.shape.get("model", 1) > 1
         if tp:
@@ -386,10 +383,18 @@ class SLAMTrainer:
     def _put_train_batch(self, stacked: Dict[str, np.ndarray]):
         """Place a [A, B_global, T] host batch on the mesh. Multihost: every
         process holds the identical global batch; each contributes only its
-        addressable row shard."""
+        addressable row shard — or, under context parallelism (time sharded
+        too), each device slices its own (row, time) tile from the global
+        batch via make_array_from_callback."""
         stacked = {k: stacked[k] for k in self._batch_sh}
         if self._n_procs == 1:
             return jax.device_put(stacked, self._batch_sh)
+        if any(len(sh.spec) > 2 and sh.spec[2] is not None
+               for sh in self._batch_sh.values()):
+            return {k: jax.make_array_from_callback(
+                        v.shape, self._batch_sh[k],
+                        lambda idx, v=v: v[idx])
+                    for k, v in stacked.items()}
         rows = stacked["input_ids"].shape[1] // self._n_procs
         lo = self._proc * rows
         return {

@@ -40,3 +40,64 @@ def config_dir() -> str:
 def example_data_dir() -> pathlib.Path:
     """The reference's committed golden example data (features/tokens jsonl)."""
     return REFERENCE_ROOT / "example_data"
+
+
+# --------------------------------------------------------------------------- #
+# quick gate vs full suite (VERDICT r4 item 7)
+#
+# The default run (`python -m pytest tests/ -q`) deselects tests measured
+# >= ~11s on the 8-device CPU mesh (list below, from a full --durations
+# sweep) for a <5 min gate. The FULL suite runs with `-m ""` or
+# SLAMKIT_FULL_TESTS=1. Parametrized entries match every param id.
+# --------------------------------------------------------------------------- #
+_SLOW_TESTS = {
+    "test_trainer.py::test_seq_parallel_flash_train_step_loss_parity",  # 519s
+    "test_hubert_fixture.py::test_full_size_extract_parity",            # 158s
+    "test_multihost.py::test_two_process_context_parallel_equivalence", # 130s
+    "test_dpo.py::test_dpo_length_buckets_equal_loss_stream",           # 44s
+    "test_eval_parity.py::test_eval_parity_reference_checkpoint",       # 41s
+    "test_flash_attention.py::test_chunked_bwd_bounded_dq_partials",    # 36s
+    "test_dpo.py::test_dpo_dropout_active_and_seeded",                  # 35s
+    "test_trainer.py::test_tp_train_step_loss_parity",                  # 35s
+    "test_eval_parity.py::test_eval_parity_our_checkpoint",             # 33s
+    "test_hubert_fixture.py::test_recorded_activation_parity",          # 30s
+    "test_flash_attention.py::test_seg_block_skip_gqa_straddling_blocks",  # 30s
+    "test_hubert.py::test_fairseq_checkpoint_layout",                   # 30s
+    "test_trainer.py::test_train_with_dropout",                         # 27s
+    "test_trainer.py::test_checkpoint_resume_equivalence",              # 27s
+    "test_dpo.py::test_dpo_checkpoint_resume_equivalence",              # 26s
+    "test_trainer.py::test_resume_across_epoch_boundary",               # 26s
+    "test_hubert.py::test_hidden_state_parity_all_taps",                # 25s
+    "test_flash_attention.py::test_mqa_d128_slam_variant_shape",        # 25s
+    "test_trainer.py::test_periodic_saves_after_offgrid_resume",        # 25s
+    "test_dpo.py::test_dpo_training_improves_margin",                   # 23s
+    "test_flash_attention.py::test_multi_k_block_dq_partials",          # 23s
+    "test_trainer.py::test_seq_parallel_train_step_loss_parity",        # 23s
+    "test_trainer.py::test_async_save_matches_sync",                    # 20s
+    "test_transformer.py::test_dropout_changes_training_logits",        # 17s
+    "test_trainer.py::test_grad_accum_matches_big_batch",               # 15s
+    "test_trainer.py::test_token_id_range_counting",                    # 15s
+    "test_trainer.py::test_tp_fsdp_combined_shardings",                 # 14s
+    "test_hubert.py::test_last_hidden_state_parity",                    # 14s
+    "test_supervisor.py::test_supervisor_kills_stall_and_resumes",      # 14s
+    "test_dpo.py::test_dpo_fsdp_train_and_collective_save",             # 14s
+    "test_hf_convert.py::test_export_hf_roundtrip_qwen_layout",         # 13s
+    "test_interleaved_pipeline.py::test_interleaved_prepare_and_train", # 13s
+    "test_hf_convert.py::test_twist_init_refuses_reheaded_arch",        # 12s
+    "test_quant.py::test_int8_generate_gated_arch",                     # 12s
+    "test_trainer.py::test_optimizer_variants_train",                   # 3x ~10s
+    "test_flash_attention.py::test_seg_block_skip_equivalence",         # 11s
+    "test_trainer.py::test_last_group_flushes_on_epoch_budget",         # 11s
+    "test_hf_convert.py::test_export_hf_roundtrip_opt_layout",          # 11s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SLAMKIT_FULL_TESTS") == "1":
+        # neutralize the default `-m 'not slow'` gate
+        config.option.markexpr = ""
+    for item in items:
+        base = getattr(item, "originalname", None) or item.name
+        key = f"{item.fspath.basename}::{base}"
+        if key in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
