@@ -95,17 +95,26 @@ def main():
             t_diag = _time(fwd_bwd(True), qc, kc, vc, iters=args.iters)
             t_off = _time(fwd_bwd(False), qc, kc, vc, iters=args.iters)
             t_ring = t_diag + (n - 1) * t_off
-            kv_bytes = 2 * B * HKV * c * D * 2  # bf16 k+v chunk per step
-            row["cp"].append({
+            entry = {
                 "n": n, "chunk": c,
                 "diag_ms": round(t_diag, 3), "off_ms": round(t_off, 3),
                 "ring_worst_dev_ms": round(t_ring, 3),
                 "vs_full": round(t_ring / t_full, 3),
-                "kv_mb_per_step": round(kv_bytes / 2**20, 2),
-                # ICI bandwidth needed to fully hide the rotation under one
-                # off-diagonal pair (v5e ICI ~186 GB/s/link for scale)
-                "hide_gbps": round(kv_bytes / (t_off * 1e-3) / 1e9, 1),
-            })
+            }
+            kv_bytes = 2 * B * HKV * c * D * 2  # bf16 k+v chunk per step
+            entry["kv_mb_per_step"] = round(kv_bytes / 2**20, 2)
+            # ICI bandwidth needed to fully hide the rotation under one
+            # off-diagonal pair (v5e ICI ~186 GB/s/link for scale)
+            entry["hide_gbps"] = round(kv_bytes / (t_off * 1e-3) / 1e9, 1)
+            if c % 256 == 0:
+                # zigzag: every step = 2 half-pair kernels on every device
+                qh, kh, vh = qkv(c // 2)
+                t_half = _time(fwd_bwd(False), qh, kh, vh, iters=args.iters)
+                t_zz = t_diag + (n - 1) * 2 * t_half
+                entry["zigzag_step_ms"] = round(2 * t_half, 3)
+                entry["zigzag_dev_ms"] = round(t_zz, 3)
+                entry["zigzag_vs_contiguous"] = round(t_zz / t_ring, 3)
+            row["cp"].append(entry)
         rows.append(row)
         print(json.dumps(row))
 

@@ -203,7 +203,7 @@ def _use_flash(cfg: DecoderConfig) -> bool:
 
 
 def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True,
-               dropout_rng=None, cp_mesh=None):
+               dropout_rng=None, cp_mesh=None, cp_schedule="contiguous"):
     if _use_flash(cfg):
         # interpret mode runs the same kernels on the CPU test mesh (like
         # quant.dq_matmul) so attn_implementation=flash_attention_2 works
@@ -219,6 +219,7 @@ def _attention(q, k, v, segment_ids, cfg: DecoderConfig, causal=True,
                                         sm_scale=cfg.head_dim ** -0.5,
                                         block_q=cfg.flash_block_q or None,
                                         block_k=cfg.flash_block_k or None,
+                                        schedule=cp_schedule,
                                         interpret=interpret)
         # forward() rejects attention_dropout>0 + flash up front
         return flash_attention(q, k, v, segment_ids=segment_ids, causal=causal,
@@ -284,7 +285,8 @@ def _dropout(x, rate: float, rng):
 
 
 def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
-           cache_index=None, dropout_rng=None, cp_mesh=None):
+           cache_index=None, dropout_rng=None, cp_mesh=None,
+           cp_schedule="contiguous"):
     """One decoder block. cache_kv: optional (k, v) [B, Hkv, Tmax, Dh] to update
     at cache_index (decode); returns (out, new_cache_kv)."""
     dt = x.dtype
@@ -354,7 +356,7 @@ def _layer(x, lp, positions, segment_ids, cfg: DecoderConfig, cache_kv=None,
         attn = _attention(q, k, v, segment_ids, cfg, causal=True,
                           dropout_rng=(dropout_rng[0]
                                        if dropout_rng is not None else None),
-                          cp_mesh=cp_mesh)
+                          cp_mesh=cp_mesh, cp_schedule=cp_schedule)
 
     if cfg.remat and cfg.remat_policy == "qkv":
         from jax.ad_checkpoint import checkpoint_name
@@ -391,7 +393,7 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             cache: Optional[Any] = None,
             cache_index: Optional[jax.Array] = None,
             dropout_rng: Optional[jax.Array] = None,
-            cp_mesh=None):
+            cp_mesh=None, cp_schedule: str = "contiguous"):
     """Run the decoder. Returns (logits_f32 [B,T,V], new_cache).
 
     positions default to 0..T-1; pass explicit positions for left-padded
@@ -446,7 +448,8 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
             def body(carry, xs):
                 lp, keys = xs
                 out, _ = _layer(carry, lp, positions, segment_ids, cfg,
-                                dropout_rng=keys[1:], cp_mesh=cp_mesh)
+                                dropout_rng=keys[1:], cp_mesh=cp_mesh,
+                                cp_schedule=cp_schedule)
                 if cfg.layerdrop > 0.0:
                     # HF layerdrop: skip the whole layer with prob p, no
                     # rescale (train-only)
@@ -458,7 +461,7 @@ def forward(params: dict, cfg: DecoderConfig, input_ids: jax.Array,
         else:
             def body(carry, lp):
                 out, _ = _layer(carry, lp, positions, segment_ids, cfg,
-                                cp_mesh=cp_mesh)
+                                cp_mesh=cp_mesh, cp_schedule=cp_schedule)
                 return out, None
 
             xs = layer_params

@@ -209,18 +209,23 @@ class UnitLM:
 
     # -- core compute ---------------------------------------------------------
     def loss_fn(self, params, batch: dict, dropout_rng=None,
-                cp_mesh=None) -> jax.Array:
+                cp_mesh=None, cp_schedule: str = "contiguous",
+                pre_shifted: bool = False) -> jax.Array:
         """Training loss on {'input_ids', 'labels', 'segment_ids'?, 'positions'?,
         'num_items_in_batch'?} (shift-CE, reference unit_lm.py:13-29).
         dropout_rng activates the config's dropout rates (train mode).
         cp_mesh: mesh with a 'seq' axis for ring-attention context
-        parallelism (trainer-supplied)."""
+        parallelism (trainer-supplied); cp_schedule picks the ring order.
+        pre_shifted: labels already carry next-token targets (zigzag CP
+        permutes time, so the trainer shifts before permuting)."""
         logits, _ = forward(params, self.decoder, batch["input_ids"],
                             positions=batch.get("positions"),
                             segment_ids=batch.get("segment_ids"),
-                            dropout_rng=dropout_rng, cp_mesh=cp_mesh)
+                            dropout_rng=dropout_rng, cp_mesh=cp_mesh,
+                            cp_schedule=cp_schedule)
         return cross_entropy_loss(logits, batch["labels"],
-                                  batch.get("num_items_in_batch"))
+                                  batch.get("num_items_in_batch"),
+                                  pre_shifted=pre_shifted)
 
     @property
     def uses_dropout(self) -> bool:

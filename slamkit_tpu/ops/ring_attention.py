@@ -52,6 +52,28 @@ from .flash_attention import (_LANES, _SUBLANES, LSE_SENTINEL, FlashConfig,
 _DEAD = LSE_SENTINEL / 2
 
 
+def zigzag_permutation(t: int, n: int):
+    """Time-axis permutation for the zigzag (load-balanced) schedule.
+
+    Returns idx of length t such that permuted[i] = original[idx[i]]:
+    device r's contiguous chunk [r*C, (r+1)*C) then holds the logical
+    half-chunks (r, 2n-1-r), h = t/(2n) positions each. Self-inverse is
+    NOT guaranteed — invert with np.argsort(idx). Callers must permute
+    every per-token array consistently (ids/labels/positions/segments) and
+    PRE-SHIFT labels before permuting (next-token adjacency does not
+    survive the permutation)."""
+    import numpy as np
+
+    if t % (2 * n):
+        raise ValueError(f"T={t} not divisible by 2*n={2 * n}")
+    h = t // (2 * n)
+    order = []
+    for r in range(n):
+        order.extend(range(r * h, (r + 1) * h))
+        order.extend(range((2 * n - 1 - r) * h, (2 * n - r) * h))
+    return np.asarray(order)
+
+
 def _rotate(tree, axis_name: str, n: int):
     """Send every device's copy to the next device on the ring (+1)."""
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -90,14 +112,42 @@ class _RingStatic:
     n: int
     cfg_diag: FlashConfig     # causal kernel for the aligned diagonal chunk
     cfg_off: FlashConfig      # non-causal kernel for strictly-past chunks
+    schedule: str = "contiguous"   # contiguous | zigzag (load-balanced)
+
+
+def _halves(x, axis):
+    h = x.shape[axis] // 2
+    lo = [slice(None)] * x.ndim
+    hi = [slice(None)] * x.ndim
+    lo[axis] = slice(0, h)
+    hi[axis] = slice(h, None)
+    return x[tuple(lo)], x[tuple(hi)]
+
+
+def _split_kv(ring, has_seg):
+    """Split a travelling (k, v[, k_seg]) tuple into time halves
+    (k time axis 2, k_seg time axis 2)."""
+    ka, kb = _halves(ring[0], 2)
+    va, vb = _halves(ring[1], 2)
+    if has_seg:
+        sa, sb = _halves(ring[2], 2)
+        return (ka, va, sa), (kb, vb, sb)
+    return (ka, va, None), (kb, vb, None)
 
 
 def _ring_forward(q5, k, v, q_seg, k_seg, st: _RingStatic):
     """Full ring pass; returns (out5 f32-merged->input dtype, lse5 f32)."""
     r = jax.lax.axis_index(st.axis_name)
+    # step 0: the local causal call. Under zigzag the device's two logical
+    # half-chunks (r, 2n-1-r) are locally ordered exactly like logical
+    # time (low half strictly precedes high half), so the SAME local
+    # causal kernel covers qa-ka diag, qb-ka full, qb-kb diag, and
+    # correctly forbids qa-kb.
     out_d, lse = _fwd(q5, k, v, q_seg, k_seg, st.cfg_diag)
     out = out_d.astype(jnp.float32)
     ring = (k, v) if k_seg is None else (k, v, k_seg)
+    if st.schedule == "zigzag":
+        return _zigzag_forward_steps(q5, q_seg, ring, out, lse, r, st)
     for t in range(1, st.n):
         ring = _rotate(ring, st.axis_name, st.n)
 
@@ -111,6 +161,48 @@ def _ring_forward(q5, k, v, q_seg, k_seg, st: _RingStatic):
 
         o_t, lse_t = jax.lax.cond(r >= t, compute, skip, ring)
         out, lse = _merge_pair(out, lse, o_t, lse_t)
+    return out.astype(q5.dtype), lse
+
+
+def _zigzag_forward_steps(q5, q_seg, ring, out, lse, r, st: _RingStatic):
+    """Zigzag off-diagonal steps: device r owns logical half-chunks
+    (r, 2n-1-r) so EVERY step costs exactly two half-pair kernels on every
+    device (the contiguous schedule's unbalanced tail is gone):
+
+      received halves at step t are (j, 2n-1-j), j = r-t mod n;
+      * qb (logical 2n-1-r) attends ka (logical j <= n-1): ALWAYS full;
+      * if j < r (pred): qa attends ka — else qb attends kb — one more
+        full half-pair, picked by operand selection, no lax.cond.
+    """
+    has_seg = q_seg is not None
+    qa, qb = _halves(q5, 3)
+    qsa, qsb = _halves(q_seg, 1) if has_seg else (None, None)
+    out_a, out_b = _halves(out, 3)
+    lse_a, lse_b = _halves(lse, 3)
+    for t in range(1, st.n):
+        ring = _rotate(ring, st.axis_name, st.n)
+        (ka, va, sa), (kb, vb, sb) = _split_kv(ring, has_seg)
+        pred = r >= t
+        # call 1: qb vs the received low half — always valid
+        o1, l1 = _fwd(qb, ka, va, qsb, sa, st.cfg_off)
+        # call 2: (qa vs ka) when pred else (qb vs kb)
+        q_sel = jnp.where(pred, qa, qb)
+        k_sel = jnp.where(pred, ka, kb)
+        v_sel = jnp.where(pred, va, vb)
+        qs_sel = jnp.where(pred, qsa, qsb) if has_seg else None
+        ks_sel = jnp.where(pred, sa, sb) if has_seg else None
+        o2, l2 = _fwd(q_sel, k_sel, v_sel, qs_sel, ks_sel, st.cfg_off)
+        # route call 2 into the half it belongs to
+        dead = jnp.full_like(l2, LSE_SENTINEL)
+        out_a, lse_a = _merge_pair(out_a, lse_a,
+                                   jnp.where(pred, o2, 0.0),
+                                   jnp.where(pred, l2, dead))
+        out_b, lse_b = _merge_pair(out_b, lse_b, o1, l1)
+        out_b, lse_b = _merge_pair(out_b, lse_b,
+                                   jnp.where(pred, 0.0, o2),
+                                   jnp.where(pred, dead, l2))
+    out = jnp.concatenate([out_a, out_b], axis=3)
+    lse = jnp.concatenate([lse_a, lse_b], axis=3)
     return out.astype(q5.dtype), lse
 
 
@@ -136,29 +228,80 @@ def _ring_bwd_rule(st: _RingStatic, residuals, do5):
     ring = (k, v, dk0.astype(jnp.float32), dv0.astype(jnp.float32))
     if k_seg is not None:
         ring = ring + (k_seg,)
-    for t in range(1, st.n):
-        ring = _rotate(ring, st.axis_name, st.n)
+    if st.schedule == "zigzag":
+        ring = _zigzag_backward_steps(q5, q_seg, out5, lse5, do5, dq, ring,
+                                      r, st)
+        dq = ring[-1]
+    else:
+        for t in range(1, st.n):
+            ring = _rotate(ring, st.axis_name, st.n)
 
-        def compute(ops):
-            ks = ops[4] if len(ops) > 4 else None
-            dq_t, dk_t, dv_t = _bwd(q5, ops[0], ops[1], q_seg, ks,
-                                    out5, lse5, do5, st.cfg_off)
-            return (dq_t.astype(jnp.float32), dk_t.astype(jnp.float32),
-                    dv_t.astype(jnp.float32))
+            def compute(ops):
+                ks = ops[4] if len(ops) > 4 else None
+                dq_t, dk_t, dv_t = _bwd(q5, ops[0], ops[1], q_seg, ks,
+                                        out5, lse5, do5, st.cfg_off)
+                return (dq_t.astype(jnp.float32), dk_t.astype(jnp.float32),
+                        dv_t.astype(jnp.float32))
 
-        def skip(ops):
-            return (jnp.zeros(q5.shape, jnp.float32),
-                    jnp.zeros(k.shape, jnp.float32),
-                    jnp.zeros(v.shape, jnp.float32))
+            def skip(ops):
+                return (jnp.zeros(q5.shape, jnp.float32),
+                        jnp.zeros(k.shape, jnp.float32),
+                        jnp.zeros(v.shape, jnp.float32))
 
-        dq_t, dk_t, dv_t = jax.lax.cond(r >= t, compute, skip, ring)
-        dq = dq + dq_t
-        ring = (ring[0], ring[1], ring[2] + dk_t, ring[3] + dv_t) + ring[4:]
+            dq_t, dk_t, dv_t = jax.lax.cond(r >= t, compute, skip, ring)
+            dq = dq + dq_t
+            ring = (ring[0], ring[1], ring[2] + dk_t, ring[3] + dv_t) + ring[4:]
     # chunks sit one-past-home after n-1 rotations; one more brings the
     # accumulated gradients back to their owner
     dk, dv = _rotate((ring[2], ring[3]), st.axis_name, st.n)
     return (dq.astype(q5.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             None, None)
+
+
+def _zigzag_backward_steps(q5, q_seg, out5, lse5, do5, dq, ring, r,
+                           st: _RingStatic):
+    """Zigzag backward off-diagonal steps (mirror of the forward dispatch):
+    per step, two half-pair backward kernels with the GLOBAL lse/out; dq
+    routes into the local (qa|qb) half, dk/dv into the travelling (ka|kb)
+    accumulator half, both by operand/result selection."""
+    has_seg = q_seg is not None
+    qa, qb = _halves(q5, 3)
+    qsa, qsb = _halves(q_seg, 1) if has_seg else (None, None)
+    oa, ob = _halves(out5, 3)
+    la, lb = _halves(lse5, 3)
+    da, db = _halves(do5, 3)
+    dq_a, dq_b = _halves(dq, 3)
+    for t in range(1, st.n):
+        ring = _rotate(ring, st.axis_name, st.n)
+        (ka, va, sa), (kb, vb, sb) = _split_kv(ring[:2] + ring[4:], has_seg)
+        dka_acc, dkb_acc = _halves(ring[2], 2)
+        dva_acc, dvb_acc = _halves(ring[3], 2)
+        pred = r >= t
+        # call 1: qb vs received low half — always valid
+        dq1, dk1, dv1 = _bwd(qb, ka, va, qsb, sa, ob, lb, db, st.cfg_off)
+        # call 2: (qa vs ka) when pred else (qb vs kb)
+        q_sel = jnp.where(pred, qa, qb)
+        k_sel = jnp.where(pred, ka, kb)
+        v_sel = jnp.where(pred, va, vb)
+        qs_sel = jnp.where(pred, qsa, qsb) if has_seg else None
+        ks_sel = jnp.where(pred, sa, sb) if has_seg else None
+        o_sel = jnp.where(pred, oa, ob)
+        l_sel = jnp.where(pred, la, lb)
+        d_sel = jnp.where(pred, da, db)
+        dq2, dk2, dv2 = _bwd(q_sel, k_sel, v_sel, qs_sel, ks_sel,
+                             o_sel, l_sel, d_sel, st.cfg_off)
+        dq1, dk1, dv1 = (x.astype(jnp.float32) for x in (dq1, dk1, dv1))
+        dq2, dk2, dv2 = (x.astype(jnp.float32) for x in (dq2, dk2, dv2))
+        dq_a = dq_a + jnp.where(pred, dq2, 0.0)
+        dq_b = dq_b + dq1 + jnp.where(pred, 0.0, dq2)
+        dka_acc = dka_acc + dk1 + jnp.where(pred, dk2, 0.0)
+        dva_acc = dva_acc + dv1 + jnp.where(pred, dv2, 0.0)
+        dkb_acc = dkb_acc + jnp.where(pred, 0.0, dk2)
+        dvb_acc = dvb_acc + jnp.where(pred, 0.0, dv2)
+        ring = (ring[0], ring[1],
+                jnp.concatenate([dka_acc, dkb_acc], axis=2),
+                jnp.concatenate([dva_acc, dvb_acc], axis=2)) + ring[4:]
+    return ring + (jnp.concatenate([dq_a, dq_b], axis=3),)
 
 
 _ring.defvjp(_ring_fwd_rule, _ring_bwd_rule)
@@ -201,6 +344,7 @@ def ring_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          sm_scale: Optional[float] = None,
                          block_q: Optional[int] = None,
                          block_k: Optional[int] = None,
+                         schedule: str = "contiguous",
                          interpret: bool = False) -> jax.Array:
     """Causal flash attention over sequence-sharded [B, H, T, D] tensors.
 
@@ -210,19 +354,30 @@ def ring_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     carry fewer heads than q (GQA-native, like flash_attention).
     segment_ids [B, T] with -1 pads ride along for packing.
 
+    schedule='contiguous': device r holds logical chunk r (natural time
+    order; device r computes r+1 chunk pairs — unbalanced tail).
+    schedule='zigzag': the global time axis MUST already be permuted by
+    zigzag_permutation(T, n), so device r holds logical half-chunks
+    (r, 2n-1-r); every device then computes exactly 2 half-pairs per ring
+    step (balanced — ~2x faster at large n for unpacked long context).
+
     T must divide by the seq-axis size into lane-aligned chunks
-    (T/n % 128 == 0); head_dim is lane-padded internally.
+    (T/n % 128 == 0; zigzag: T/(2n) % 128 == 0); head_dim is lane-padded
+    internally.
     """
     n = int(mesh.shape[seq_axis])
     batch, heads, t, d_orig = q.shape
     h_kv = k.shape[1]
     if heads % h_kv:
         raise ValueError(f"q heads {heads} not a multiple of kv heads {h_kv}")
-    if t % n or (t // n) % _LANES:
+    if schedule not in ("contiguous", "zigzag"):
+        raise ValueError(f"unknown ring schedule {schedule!r}")
+    unit = _LANES * (2 if schedule == "zigzag" else 1)
+    if t % n or (t // n) % unit:
         raise ValueError(
             f"ring attention needs T divisible into lane-aligned chunks: "
             f"T={t}, seq axis={n} -> chunk {t / n} (must be a multiple of "
-            f"{_LANES})")
+            f"{unit} for schedule={schedule})")
     if sm_scale is None:
         sm_scale = d_orig ** -0.5
 
@@ -231,12 +386,17 @@ def ring_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # group fold is unchanged on each shard
     groups = heads // h_kv
     bq, bk, bq_b, bk_b = _ring_blocks(c, groups, block_q, block_k)
-    base = dict(sm_scale=sm_scale, groups=groups, block_q=bq, block_k=bk,
-                block_q_bwd=bq_b, block_k_bwd=bk_b,
+    base = dict(sm_scale=sm_scale, groups=groups,
                 has_segments=segment_ids is not None, interpret=interpret)
-    st = _RingStatic(axis_name=seq_axis, n=n,
-                     cfg_diag=FlashConfig(causal=True, **base),
-                     cfg_off=FlashConfig(causal=False, **base))
+    # zigzag off-diagonal kernels run on HALF chunks — fit their blocks to h
+    off_c = c // 2 if schedule == "zigzag" else c
+    obq, obk, obq_b, obk_b = _ring_blocks(off_c, groups, block_q, block_k)
+    st = _RingStatic(
+        axis_name=seq_axis, n=n, schedule=schedule,
+        cfg_diag=FlashConfig(causal=True, block_q=bq, block_k=bk,
+                             block_q_bwd=bq_b, block_k_bwd=bk_b, **base),
+        cfg_off=FlashConfig(causal=False, block_q=obq, block_k=obk,
+                            block_q_bwd=obq_b, block_k_bwd=obk_b, **base))
 
     b_ax = "data" if "data" in mesh.axis_names else None
     h_ax = "model" if "model" in mesh.axis_names else None

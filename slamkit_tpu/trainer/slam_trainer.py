@@ -157,11 +157,16 @@ class SLAMTrainer:
                      ("input_ids", "labels", "segment_ids", "positions")}
 
             def one(params, mb, sub=None):
-                # cp_mesh is assigned later in _build_step (late-bound
-                # closure; tracing happens after _build_step returns)
+                # cp_mesh/cp_zigzag are assigned later in _build_step
+                # (late-bound closure; tracing happens after _build_step
+                # returns)
+                if cp_zigzag:
+                    mb = zz_transform(mb)
                 return model.loss_fn(params,
                                      {**mb, "num_items_in_batch": num_items},
-                                     dropout_rng=sub, cp_mesh=cp_mesh)
+                                     dropout_rng=sub, cp_mesh=cp_mesh,
+                                     cp_schedule=cp_schedule,
+                                     pre_shifted=cp_zigzag)
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
             if uses_dropout:
@@ -205,13 +210,18 @@ class SLAMTrainer:
         def eval_step(params, batch):
             from ..models.transformer import forward
             from ..utils.calculation_utils import token_nll
+            if cp_zigzag:
+                batch = zz_transform(batch)
             logits, _ = forward(params, model.decoder, batch["input_ids"],
                                 positions=batch["positions"],
                                 segment_ids=batch["segment_ids"],
-                                cp_mesh=cp_mesh)
+                                cp_mesh=cp_mesh, cp_schedule=cp_schedule)
             labels = batch["labels"]
-            shift_logits = logits[..., :-1, :]
-            shift_labels = labels[..., 1:]
+            if cp_zigzag:   # labels already carry next-token targets
+                shift_logits, shift_labels = logits, labels
+            else:
+                shift_logits = logits[..., :-1, :]
+                shift_labels = labels[..., 1:]
             valid = shift_labels != -100
             nll = token_nll(shift_logits, shift_labels) * valid
             return nll.sum(), valid.sum()
@@ -224,22 +234,50 @@ class SLAMTrainer:
         # XLA path GSPMD inserts the attention k/v all-gathers instead.
         n_seq = seq_axis_size(self.mesh)
         cp_mesh = None
+        cp_schedule = str(self.args.get("cp_schedule", "contiguous")
+                          or "contiguous")
         if n_seq > 1:
             from ..models.transformer import _use_flash
             if self.context_len % n_seq != 0:
                 raise ValueError(f"context_len {self.context_len} not "
                                  f"divisible by seq axis {n_seq}")
             if _use_flash(model.decoder):
-                if (self.context_len // n_seq) % 128 != 0:
+                align = 256 if cp_schedule == "zigzag" else 128
+                if (self.context_len // n_seq) % align != 0:
                     raise ValueError(
                         f"ring-attention context parallelism needs "
                         f"lane-aligned chunks: context_len "
                         f"{self.context_len} / seq axis {n_seq} = "
                         f"{self.context_len // n_seq} (must be a multiple "
-                        f"of 128); use the XLA path "
+                        f"of {align} for cp_schedule={cp_schedule}); use "
+                        f"the XLA path "
                         f"(model.config_args.attn_implementation=xla) for "
                         f"smaller chunks")
                 cp_mesh = self.mesh
+            elif cp_schedule != "contiguous":
+                raise ValueError("cp_schedule=zigzag needs the flash "
+                                 "attention path (ring attention); the XLA "
+                                 "CP path has no ring schedule")
+        cp_zigzag = cp_mesh is not None and cp_schedule == "zigzag"
+        if cp_zigzag:
+            from ..ops.ring_attention import zigzag_permutation
+
+            zz_idx = jnp.asarray(zigzag_permutation(self.context_len, n_seq))
+
+            def zz_transform(mb):
+                # pre-shift labels (next-token targets) BEFORE permuting —
+                # adjacency does not survive the permutation — then permute
+                # every per-token array so device r holds logical
+                # half-chunks (r, 2n-1-r). num_items is computed from the
+                # RAW labels upstream, keeping the stock normalization.
+                lab = mb["labels"]
+                lab = jnp.concatenate(
+                    [lab[..., 1:], jnp.full_like(lab[..., :1], -100)], -1)
+                mb = {**mb, "labels": lab}
+                return {k: (jnp.take(v, zz_idx, axis=-1)
+                            if k in ("input_ids", "labels", "segment_ids",
+                                     "positions") else v)
+                        for k, v in mb.items()}
             # multihost CP: _put_train_batch switches to a per-device tile
             # callback (every process already holds the identical global
             # batch), so a time-sharded global array needs no special map

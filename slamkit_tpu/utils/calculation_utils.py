@@ -34,12 +34,20 @@ def calc_nll(logits: jax.Array, target: jax.Array, mask: jax.Array,
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
                        num_items_in_batch: Optional[jax.Array] = None,
-                       ignore_index: int = IGNORE_INDEX) -> jax.Array:
+                       ignore_index: int = IGNORE_INDEX,
+                       pre_shifted: bool = False) -> jax.Array:
     """Shifted causal-LM loss matching reference unit_lm.py:13-29:
     mean over valid tokens, or sum/num_items_in_batch when packing provides
-    the global token count (grad-accum correctness)."""
-    shift_logits = logits[..., :-1, :]
-    shift_labels = labels[..., 1:]
+    the global token count (grad-accum correctness).
+
+    pre_shifted=True: labels[t] is ALREADY the target for logits[t]
+    (next-token adjacency applied by the caller — the zigzag CP schedule
+    permutes the time axis, so the shift must happen before permuting)."""
+    if pre_shifted:
+        shift_logits, shift_labels = logits, labels
+    else:
+        shift_logits = logits[..., :-1, :]
+        shift_labels = labels[..., 1:]
     valid = shift_labels != ignore_index
     nll = token_nll(shift_logits, shift_labels) * valid
     if num_items_in_batch is not None:

@@ -52,6 +52,9 @@ def example_data_dir() -> pathlib.Path:
 # --------------------------------------------------------------------------- #
 _SLOW_TESTS = {
     "test_trainer.py::test_seq_parallel_flash_train_step_loss_parity",  # 519s
+    "test_trainer.py::test_seq_parallel_zigzag_loss_parity",            # ~20m
+    "test_ring_attention.py::test_zigzag_forward_matches_flash",        # 75s
+    "test_ring_attention.py::test_zigzag_gradients_match_flash",        # 60s
     "test_hubert_fixture.py::test_full_size_extract_parity",            # 158s
     "test_multihost.py::test_two_process_context_parallel_equivalence", # 130s
     "test_dpo.py::test_dpo_length_buckets_equal_loss_stream",           # 44s

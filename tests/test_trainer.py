@@ -422,6 +422,38 @@ def test_seq_parallel_flash_train_step_loss_parity(tmp_path):
                                ref_ev.evaluate()["eval_loss"], rtol=2e-4)
 
 
+def test_seq_parallel_zigzag_loss_parity(tmp_path):
+    """Load-balanced (zigzag) ring CP: the trainer pre-shifts labels,
+    permutes the time axis, and runs the half-pair ring — losses and eval
+    must match the 1-D data-parallel flash run on the identical stream."""
+
+    def flash_model():
+        return UnitLM(UnitLMConfig(
+            base_model_name="EleutherAI/pythia-14m", vocab_size=64,
+            twist_init=False, attn_implementation="flash_attention_2"), seed=0)
+
+    ref = SLAMTrainer(flash_model(), train_args(tmp_path / "dp"),
+                      tiny_dataset(), context_len=512)
+    s_dp = ref.train()
+    zz = SLAMTrainer(flash_model(),
+                     train_args(tmp_path / "zz", mesh_shape="[4,2]",
+                                mesh_axes="[data,seq]",
+                                cp_schedule="zigzag",
+                                per_device_train_batch_size=2),
+                     tiny_dataset(), eval_dataset=tiny_dataset(8, seed=1),
+                     context_len=512)
+    s_zz = zz.train()
+    l_dp = [r["loss"] for r in s_dp.log_history if "loss" in r]
+    l_zz = [r["loss"] for r in s_zz.log_history if "loss" in r]
+    assert len(l_dp) == len(l_zz) == 2
+    np.testing.assert_allclose(l_zz, l_dp, rtol=2e-4)
+    ref_ev = SLAMTrainer(flash_model(), train_args(tmp_path / "dp2"),
+                         tiny_dataset(), eval_dataset=tiny_dataset(8, seed=1),
+                         context_len=512)
+    np.testing.assert_allclose(zz.evaluate()["eval_loss"],
+                               ref_ev.evaluate()["eval_loss"], rtol=2e-4)
+
+
 def test_seq_parallel_guards(tmp_path):
     """CP refuses flash chunks below lane alignment, indivisible contexts,
     and unknown mesh axis names."""
